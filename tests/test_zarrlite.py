@@ -1,0 +1,47 @@
+import numpy as np
+import pytest
+
+from orcai_tpu.io.zarrlite import open_zarr, save_as_zarr
+
+
+def test_roundtrip_2d(tmp_path):
+    arr = np.random.default_rng(0).normal(size=(4321, 171)).astype(np.float32)
+    save_as_zarr(arr, tmp_path / "a.zarr")
+    z = open_zarr(tmp_path / "a.zarr")
+    assert z.shape == (4321, 171)
+    assert z.dtype == np.float32
+    np.testing.assert_array_equal(z[:], arr)
+
+
+def test_row_slicing_across_chunks(tmp_path):
+    arr = np.arange(5000 * 7, dtype=np.float32).reshape(5000, 7)
+    save_as_zarr(arr, tmp_path / "a.zarr", chunks=(2000, 7))
+    z = open_zarr(tmp_path / "a.zarr")
+    np.testing.assert_array_equal(z[1990:2010, :], arr[1990:2010, :])
+    np.testing.assert_array_equal(z[0:1, :], arr[0:1, :])
+    np.testing.assert_array_equal(z[4999:5000, :], arr[4999:5000, :])
+    np.testing.assert_array_equal(z[123], arr[123])
+
+
+def test_uncompressed(tmp_path):
+    arr = np.ones((10, 3), dtype=np.float32)
+    save_as_zarr(arr, tmp_path / "a.zarr", compress=False)
+    z = open_zarr(tmp_path / "a.zarr")
+    np.testing.assert_array_equal(z[:], arr)
+
+
+def test_1d(tmp_path):
+    arr = np.linspace(0, 1, 777).astype(np.float32)
+    save_as_zarr(arr, tmp_path / "v.zarr", chunks=(100,))
+    z = open_zarr(tmp_path / "v.zarr")
+    np.testing.assert_array_equal(z[:], arr)
+    np.testing.assert_array_equal(z[50:150], arr[50:150])
+
+
+def test_real_zarr_interop(tmp_path):
+    zarr = pytest.importorskip("zarr")
+
+    arr = np.random.default_rng(1).normal(size=(100, 8)).astype(np.float32)
+    save_as_zarr(arr, tmp_path / "a.zarr", chunks=(30, 8))
+    z = zarr.open(tmp_path / "a.zarr", mode="r")
+    np.testing.assert_array_equal(z[:], arr)
