@@ -1,0 +1,222 @@
+"""Fused audio frontend: wav samples -> normalized spectrogram, on device.
+
+TPU-native replacement for the reference's host-side librosa chain
+(spectrogram.py:15-87): framing -> Hann -> rFFT -> |S| -> dB(ref=max,
+top_db=80) -> frequency crop -> global nearest-percentile clip -> min-max
+normalize -> transpose. Everything after WAV decode runs as one jit'd XLA
+graph; the DFT is expressed as two (T, n_fft) @ (n_fft, n_bins) matmuls so
+the FLOPs land on the MXU (GEMM-native DFT) instead of a host FFT.
+
+Semantics matched to the reference numerics:
+- librosa.stft defaults: center=True, pad_mode="constant" (zero padding),
+  periodic Hann window, frame count 1 + N // hop.
+- librosa.amplitude_to_db(ref=np.max): 20*log10(max(|S|, 1e-5)) relative to
+  the global max, clamped at top_db=80 below the peak (== max(db, -80) since
+  the global max maps to 0 dB exactly).
+- Frequency crop replicates the reference's argwhere bounds
+  (spectrogram.py:62-68): [first index with f <= lo, first index with f >= hi).
+- Percentiles use numpy's method="nearest" (virtual index q*(n-1), round
+  half to even) over the cropped dB values of the *valid* frames only
+  (spectrogram.py:70-78); padded frames are masked out of every statistic.
+
+Recordings of arbitrary length are padded to power-of-two frame buckets so
+XLA compiles a handful of shapes, with validity masks keeping the statistics
+exact.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_AMIN = 1e-5  # librosa amplitude_to_db amin
+_TOP_DB = 80.0
+_MIN_BUCKET = 2048  # minimum padded frame count (bounds recompilation)
+
+
+def fft_frequencies(sr: int, n_fft: int) -> np.ndarray:
+    """Center frequencies of rFFT bins: i * sr / n_fft, i = 0..n_fft//2."""
+    return np.linspace(0.0, sr / 2.0, n_fft // 2 + 1)
+
+
+def frames_to_time(n_frames: int, sr: int, hop_length: int) -> np.ndarray:
+    """Frame-center times for a centered STFT: i * hop / sr."""
+    return np.arange(n_frames) * (hop_length / sr)
+
+
+def freq_crop_indices(frequencies: np.ndarray, freq_range) -> tuple[int, int]:
+    """Crop bounds [lo_idx, hi_idx) as the reference computes them.
+
+    lo_idx = first index with f <= freq_range[0] (always 0 for ranges
+    starting at 0), hi_idx = first index with f >= freq_range[1].
+    """
+    lo_candidates = np.flatnonzero(frequencies <= freq_range[0])
+    hi_candidates = np.flatnonzero(frequencies >= freq_range[1])
+    if len(lo_candidates) == 0 or len(hi_candidates) == 0:
+        raise ValueError(
+            f"freq_range {freq_range} outside spectrogram frequencies "
+            f"[{frequencies[0]}, {frequencies[-1]}]"
+        )
+    return int(lo_candidates[0]), int(hi_candidates[0])
+
+
+def hann_window(n_fft: int) -> np.ndarray:
+    """Periodic (fftbins=True) Hann window, as used by librosa.stft."""
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)
+
+
+def _dft_mats(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real/imag rDFT matrices with the Hann window folded in.
+
+    Returns (C, S) of shape (n_fft, n_fft//2 + 1) such that for a raw frame
+    x: re = x @ C, im = x @ S give the windowed rFFT.
+    """
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    w = hann_window(n_fft)[:, None]
+    return (np.cos(ang) * w).astype(np.float32), (-np.sin(ang) * w).astype(np.float32)
+
+
+def nearest_quantile_index(q: float, n: int) -> int:
+    """Index of the q-quantile with numpy's method='nearest' over n values.
+
+    Virtual index q*(n-1), rounded half-to-even (np.around semantics).
+    Computed host-side in float64 — n can exceed float32's exact-int range.
+    """
+    return int(np.round(q * (n - 1)))
+
+
+@lru_cache(maxsize=None)
+def _build_spectrogram_fn(
+    n_fft: int,
+    hop: int,
+    lo_idx: int,
+    hi_idx: int,
+    precision: str,
+):
+    """jit'd (padded_frames_audio, n_valid_frames) -> normalized (Tpad, bins)."""
+    C, S = _dft_mats(n_fft)
+    C = jnp.asarray(C)
+    S = jnp.asarray(S)
+    prec = (
+        jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
+    )
+    k = n_fft // hop
+    assert n_fft % hop == 0, "frontend requires hop dividing n_fft"
+
+    @jax.jit
+    def spec_fn(
+        padded: jnp.ndarray,
+        n_valid: jnp.ndarray,
+        idx_lo: jnp.ndarray,
+        idx_hi: jnp.ndarray,
+    ) -> jnp.ndarray:
+        # frame extraction via the strided-reshape trick: padded length is
+        # (Tpad - 1) * hop + n_fft; rows of x2 are hop-sized blocks and frame
+        # t is the concatenation of blocks t .. t + k - 1.
+        tpad = (padded.shape[0] - n_fft) // hop + 1
+        x2 = padded.reshape(-1, hop)
+        frames = jnp.concatenate([x2[i : i + tpad] for i in range(k)], axis=1)
+
+        re = jnp.dot(frames, C, precision=prec)
+        im = jnp.dot(frames, S, precision=prec)
+        mag = jnp.sqrt(re * re + im * im)  # (Tpad, n_bins)
+
+        valid = (jnp.arange(tpad) < n_valid)[:, None]  # (Tpad, 1)
+
+        # dB relative to the global max over the *full* spectrum of valid frames
+        ref = jnp.max(jnp.where(valid, mag, -jnp.inf))
+        db = 20.0 * jnp.log10(jnp.maximum(mag, _AMIN)) - 20.0 * jnp.log10(
+            jnp.maximum(ref, _AMIN)
+        )
+        db = jnp.maximum(db, -_TOP_DB)  # top_db clamp; global max is 0 dB
+
+        dbc = db[:, lo_idx:hi_idx]  # frequency crop
+
+        # global nearest-percentiles over valid entries: masked sort, then
+        # pick the host-computed nearest-method indices
+        flat = jnp.where(valid, dbc, jnp.inf).ravel()
+        flat = jnp.sort(flat)
+        lo = flat[idx_lo]
+        hi = flat[idx_hi]
+
+        # clip + min-max normalize; with nearest percentiles the clipped
+        # minimum/maximum are exactly lo/hi. The final clip keeps f32
+        # rounding from overshooting the [0, 1] contract.
+        out = (jnp.clip(dbc, lo, hi) - lo) / (hi - lo)
+        return jnp.clip(out, 0.0, 1.0).astype(jnp.float32)
+
+    return spec_fn
+
+
+def _bucket_frames(n_frames: int) -> int:
+    b = _MIN_BUCKET
+    while b < n_frames:
+        b *= 2
+    return b
+
+
+def compute_spectrogram(
+    audio: np.ndarray,
+    sampling_rate: int,
+    n_fft: int,
+    hop_length: int,
+    freq_range,
+    quantiles,
+    precision: str = "highest",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full frontend for one recording.
+
+    Returns (spectrogram (T, bins) float32 in [0, 1], frequencies of the
+    *uncropped* spectrum, frame times) — the same triple shape the reference
+    pipeline passes around (make_spectrogram, spectrogram.py:90-147, returns
+    the preprocessed spectrogram with the raw frequency vector).
+    """
+    audio = np.asarray(audio, dtype=np.float32)
+    if audio.ndim != 1:
+        raise ValueError("compute_spectrogram expects mono audio (n,)")
+    n = audio.shape[0]
+    n_frames = 1 + n // hop_length
+
+    frequencies = fft_frequencies(sampling_rate, n_fft)
+    times = frames_to_time(n_frames, sampling_rate, hop_length)
+    lo_idx, hi_idx = freq_crop_indices(frequencies, freq_range)
+
+    tpad = _bucket_frames(n_frames)
+    total = (tpad - 1) * hop_length + n_fft
+    padded = np.zeros(total, dtype=np.float32)
+    padded[n_fft // 2 : n_fft // 2 + n] = audio  # centered, zero pad_mode
+
+    fn = _build_spectrogram_fn(n_fft, hop_length, lo_idx, hi_idx, precision)
+    n_elem = n_frames * (hi_idx - lo_idx)
+    out = fn(
+        jnp.asarray(padded),
+        jnp.asarray(n_frames, dtype=jnp.int32),
+        jnp.asarray(nearest_quantile_index(float(quantiles[0]), n_elem), jnp.int32),
+        jnp.asarray(nearest_quantile_index(float(quantiles[1]), n_elem), jnp.int32),
+    )
+    spec = np.asarray(out[:n_frames])
+    return spec, frequencies, times
+
+
+def make_spectrogram_from_params(
+    audio: np.ndarray, spectrogram_parameter: dict, precision: str = "highest"
+):
+    """Frontend keyed by the orcai parameter schema.
+
+    Note the reference's "n_overlap" key actually holds the hop length
+    (spectrogram.py:37); the schema is kept for config compatibility.
+    """
+    return compute_spectrogram(
+        audio,
+        sampling_rate=spectrogram_parameter["sampling_rate"],
+        n_fft=spectrogram_parameter["nfft"],
+        hop_length=spectrogram_parameter["n_overlap"],
+        freq_range=spectrogram_parameter["freq_range"],
+        quantiles=spectrogram_parameter["quantiles"],
+        precision=precision,
+    )
