@@ -1,0 +1,15 @@
+from orcai_tpu.models.crnn import (
+    ORCAI_ARCHITECTURES,
+    ResNet1DConv,
+    ResNetLSTM,
+    build_model,
+    l2_regularization,
+)
+
+__all__ = [
+    "ORCAI_ARCHITECTURES",
+    "ResNetLSTM",
+    "ResNet1DConv",
+    "build_model",
+    "l2_regularization",
+]

@@ -1,0 +1,123 @@
+"""Building-block layers for the CRNN detectors.
+
+Implemented to be functionally interchangeable with the Keras layers the
+reference composes (architectures.py:120-241) so trained checkpoints can be
+converted 1:1, while the internals are TPU-idiomatic: the LSTM hoists the
+input projection of all timesteps into one large MXU matmul and scans only
+the recurrent part; convolutions use TF-style SAME padding to preserve the
+(736, 171) -> (46, 11) trunk geometry.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class SeparableConv(nn.Module):
+    """Depthwise + pointwise convolution (Keras SeparableConv2D semantics)."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        x = nn.Conv(
+            features=in_ch,
+            kernel_size=self.kernel_size,
+            feature_group_count=in_ch,
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+            name="depthwise",
+        )(x)
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(1, 1),
+            padding="SAME",
+            use_bias=True,
+            dtype=self.dtype,
+            name="pointwise",
+        )(x)
+        return x
+
+
+def _unit_forget_bias(key, shape, dtype=jnp.float32):
+    """Zeros with ones in the forget-gate block (Keras unit_forget_bias)."""
+    units = shape[0] // 4
+    b = jnp.zeros(shape, dtype)
+    return b.at[units : 2 * units].set(1.0)
+
+
+class LSTM(nn.Module):
+    """Unidirectional LSTM over (B, T, D) returning all hidden states.
+
+    Gate math and parameter layout follow Keras: fused kernels of shape
+    (D, 4U) / (U, 4U) with gate order [input, forget, cell, output], hard
+    sigmoid off, unit forget bias on. The x @ kernel product for every
+    timestep is computed as one (B*T, D) @ (D, 4U) matmul before the scan,
+    so the MXU sees one large GEMM and the scan carries only the (B, U)
+    recurrent matmul per step.
+    """
+
+    units: int
+    reverse: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        _, _, d = x.shape
+        u = self.units
+        kernel = self.param(
+            "kernel", nn.initializers.glorot_uniform(), (d, 4 * u), jnp.float32
+        )
+        recurrent = self.param(
+            "recurrent_kernel", nn.initializers.orthogonal(), (u, 4 * u), jnp.float32
+        )
+        bias = self.param("bias", _unit_forget_bias, (4 * u,), jnp.float32)
+
+        xp = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype)) + bias.astype(
+            self.dtype
+        )  # (B, T, 4U)
+        xp = jnp.swapaxes(xp, 0, 1)  # (T, B, 4U) scan-major
+        rec = recurrent.astype(self.dtype)
+
+        def step(carry, xt):
+            h, c = carry
+            z = xt + jnp.dot(h, rec)
+            i, f, g, o = jnp.split(z, 4, axis=-1)
+            i = jax.nn.sigmoid(i)
+            f = jax.nn.sigmoid(f)
+            g = jnp.tanh(g)
+            o = jax.nn.sigmoid(o)
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            return (h, c), h
+
+        b = x.shape[0]
+        init = (
+            jnp.zeros((b, u), self.dtype),
+            jnp.zeros((b, u), self.dtype),
+        )
+        _, hs = jax.lax.scan(step, init, xp, reverse=self.reverse)
+        return jnp.swapaxes(hs, 0, 1)  # (B, T, U)
+
+
+class BiLSTM(nn.Module):
+    """Bidirectional LSTM, concat merge (Keras Bidirectional default)."""
+
+    units: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        fwd = LSTM(self.units, reverse=False, dtype=self.dtype, name="forward")(x)
+        bwd = LSTM(self.units, reverse=True, dtype=self.dtype, name="backward")(x)
+        return jnp.concatenate([fwd, bwd], axis=-1)
