@@ -1,0 +1,260 @@
+"""Snippet loading and materialized TVT dataset storage.
+
+Replaces the reference's DataLoader + tf.data.Dataset.save/load pair
+(io.py:16-218) with a TPU-friendly design:
+
+- `SnippetDataLoader` fetches (spectrogram, labels) snippet pairs from the
+  zarr stores by row range, downsampling labels by mean+round over
+  2**n_filters blocks exactly like the reference (io.py:101-126). Zarr
+  handles are cached per recording rather than per snippet.
+- `ArrayDataset` is the materialized on-disk format: contiguous .npy shards
+  (optionally gzipped) + meta.json. Uncompressed shards are memory-mapped,
+  so an epoch of batches is pure index math + page-cache reads — no
+  TF graph, no generator, no decompression on the hot path.
+
+Batch iteration does a full seeded permutation per epoch (strictly stronger
+shuffling than the reference's 1000-element tf.data shuffle buffer,
+io.py:174-182).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import math
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from orcai_tpu.io.zarrlite import open_zarr
+from orcai_tpu.utils.seeds import shuffle_seed_from
+
+
+def reshape_labels(labels: np.ndarray, n_filters: int) -> np.ndarray:
+    """Downsample (T, L) frame labels to the model's output grid.
+
+    Mean over non-overlapping 2**n_filters blocks, rounded half-to-even
+    (numpy/TF round semantics); fully masked blocks stay MASK_VALUE.
+    """
+    down = 2**n_filters
+    t, n = labels.shape
+    if t % down != 0:
+        raise ValueError(
+            f"Label rows ({t}) must be divisible by 2**n_filters ({down})."
+        )
+    averaged = labels.reshape(t // down, down, n).mean(axis=1)
+    return np.round(averaged).astype(np.float32)
+
+
+class SnippetDataLoader:
+    """Snippet fetcher over a snippet table (recording_data_dir, row range)."""
+
+    def __init__(
+        self,
+        snippet_table: pd.DataFrame,
+        n_filters: int,
+        shuffle: bool = True,
+        rng: np.random.Generator | None = None,
+    ):
+        if rng is None:
+            rng = np.random.default_rng()
+        if shuffle:
+            snippet_table = snippet_table.sample(
+                frac=1, axis="index", random_state=rng
+            ).reset_index(drop=True)
+        self.snippet_table = snippet_table
+        self.n_filters = n_filters
+        self._stores: dict[str, tuple] = {}
+
+    @classmethod
+    def from_csv(
+        cls,
+        path: Path | str,
+        n_filters: int,
+        shuffle: bool = True,
+        rng: np.random.Generator | None = None,
+    ) -> "SnippetDataLoader":
+        return cls(pd.read_csv(path), n_filters, shuffle, rng)
+
+    def _store(self, recording_data_dir: str):
+        if recording_data_dir not in self._stores:
+            base = Path(recording_data_dir)
+            self._stores[recording_data_dir] = (
+                open_zarr(base / "spectrogram" / "spectrogram.zarr"),
+                open_zarr(base / "labels" / "labels.zarr"),
+            )
+        return self._stores[recording_data_dir]
+
+    def __len__(self) -> int:
+        return len(self.snippet_table)
+
+    def __getitem__(self, index: int) -> tuple[np.ndarray, np.ndarray]:
+        row = self.snippet_table.iloc[index]
+        spec_z, label_z = self._store(row["recording_data_dir"])
+        start, stop = int(row["row_start"]), int(row["row_stop"])
+        spec = spec_z[start:stop, :][..., None]  # (T, bins, 1)
+        labels = reshape_labels(
+            label_z[start:stop, :].astype(np.float32), self.n_filters
+        )
+        return spec.astype(np.float32), labels
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
+class ArrayDataset:
+    """Materialized (X, Y) dataset with sharded .npy storage."""
+
+    def __init__(self, x: np.ndarray, y: np.ndarray):
+        assert len(x) == len(y)
+        self.x = x
+        self.y = y
+
+    def __len__(self) -> int:
+        return len(self.x)
+
+    @property
+    def spectrogram_shape(self):
+        return tuple(self.x.shape[1:])
+
+    @property
+    def labels_shape(self):
+        return tuple(self.y.shape[1:])
+
+    # -- storage ---------------------------------------------------------------
+
+    @staticmethod
+    def save_from_loader(
+        loader,
+        path: Path | str,
+        compression: str | None = None,
+        shard_size: int = 2048,
+        overwrite: bool = False,
+        progress=None,
+    ) -> None:
+        """Materialize a snippet loader into the on-disk format."""
+        path = Path(path)
+        if path.exists() and any(path.iterdir()) and not overwrite:
+            raise FileExistsError(f"File {path} already exists.")
+        path.mkdir(parents=True, exist_ok=True)
+
+        n = len(loader)
+        shards = []
+        shard_x, shard_y = [], []
+        shard_idx = 0
+
+        def flush():
+            nonlocal shard_idx, shard_x, shard_y
+            if not shard_x:
+                return
+            xs = np.stack(shard_x)
+            ys = np.stack(shard_y)
+            _write_npy(path / f"spectrogram_{shard_idx:05d}.npy", xs, compression)
+            _write_npy(path / f"labels_{shard_idx:05d}.npy", ys, compression)
+            shards.append(len(xs))
+            shard_idx += 1
+            shard_x, shard_y = [], []
+
+        iterator = loader
+        if progress is not None:
+            iterator = progress(loader)
+        for spec, labels in iterator:
+            shard_x.append(np.asarray(spec, np.float32))
+            shard_y.append(np.asarray(labels, np.float32))
+            if len(shard_x) >= shard_size:
+                flush()
+        flush()
+
+        sample_x = _read_npy(path / "spectrogram_00000.npy", compression)
+        meta = {
+            "n": int(n),
+            "spectrogram_shape": list(sample_x.shape[1:]),
+            "labels_shape": list(
+                _read_npy(path / "labels_00000.npy", compression).shape[1:]
+            ),
+            "shards": shards,
+            "compression": compression,
+        }
+        (path / "meta.json").write_text(json.dumps(meta, indent=2))
+
+    @classmethod
+    def load(cls, path: Path | str) -> "ArrayDataset":
+        path = Path(path)
+        meta = json.loads((path / "meta.json").read_text())
+        compression = meta.get("compression")
+        xs, ys = [], []
+        for i in range(len(meta["shards"])):
+            xs.append(_read_npy(path / f"spectrogram_{i:05d}.npy", compression))
+            ys.append(_read_npy(path / f"labels_{i:05d}.npy", compression))
+        if len(xs) == 1:
+            return cls(xs[0], ys[0])
+        return cls(np.concatenate(xs), np.concatenate(ys))
+
+    # -- iteration ---------------------------------------------------------------
+
+    def batches(
+        self,
+        batch_size: int,
+        seed: int | list[int] | None = None,
+        shuffle: bool = True,
+        drop_remainder: bool = True,
+        epoch: int = 0,
+    ):
+        """Yield (x, y) numpy batches with a per-epoch seeded permutation."""
+        n = len(self)
+        if shuffle:
+            rng = np.random.default_rng(
+                shuffle_seed_from(seed) + epoch if seed is not None else None
+            )
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        n_batches = n // batch_size if drop_remainder else math.ceil(n / batch_size)
+        for b in range(n_batches):
+            idx = order[b * batch_size : (b + 1) * batch_size]
+            idx = np.sort(idx)  # monotone reads are faster on memmaps
+            yield self.x[idx], self.y[idx]
+
+    def n_batches(self, batch_size: int, drop_remainder: bool = True) -> int:
+        n = len(self)
+        return n // batch_size if drop_remainder else math.ceil(n / batch_size)
+
+
+def _write_npy(path: Path, arr: np.ndarray, compression: str | None) -> None:
+    if compression and compression.upper() == "GZIP":
+        import io as _io
+
+        buf = _io.BytesIO()
+        np.save(buf, arr)
+        Path(str(path) + ".gz").write_bytes(gzip.compress(buf.getvalue(), 1))
+    else:
+        np.save(path, arr)
+
+
+def _read_npy(path: Path, compression: str | None) -> np.ndarray:
+    gz = Path(str(path) + ".gz")
+    if gz.exists():
+        import io as _io
+
+        return np.load(_io.BytesIO(gzip.decompress(gz.read_bytes())))
+    return np.load(path, mmap_mode="r")
+
+
+def load_dataset(
+    path: Path | str,
+    batch_size: int,
+    compression: str | None = "GZIP",  # kept for CLI parity; autodetected
+    seed: int | list[int] | None = None,
+):
+    """Load a materialized dataset dir; returns (ArrayDataset, batch iterator fn).
+
+    API analogue of reference io.py:150-184 (load -> shuffle -> batch).
+    """
+    ds = ArrayDataset.load(path)
+
+    def epoch_batches(epoch: int = 0):
+        return ds.batches(batch_size, seed=seed, epoch=epoch)
+
+    return ds, epoch_batches

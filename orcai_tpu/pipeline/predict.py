@@ -1,0 +1,410 @@
+"""Prediction pipeline: wav recording(s) -> Audacity-format label files.
+
+Pipeline-level equivalent of reference predict.py:14-757, with the compute
+path (spectrogram frontend, window inference, overlap-add, thresholding)
+running on device (orcai_tpu.ops.frontend / orcai_tpu.ops.overlap) and only
+run-length extraction + table output on host. Output contracts preserved:
+`<stem>_c<channel>_<model>_predicted.txt` TSV (start/stop seconds, label with
+suffix, rounded to 4 decimals), optional `*_probabilities.csv.gz`, duration
+filtering against call_duration_limits JSON.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from tqdm import tqdm
+
+from orcai_tpu.io import read_json
+from orcai_tpu.io.model_store import load_orcai_model
+from orcai_tpu.ops.overlap import WindowPredictor
+from orcai_tpu.pipeline.spectrogram import make_spectrogram
+from orcai_tpu.utils import Messenger
+from orcai_tpu.utils.rle import runs_from_binary_matrix
+
+from orcai_tpu.resources import (
+    DEFAULT_CALL_DURATION_LIMITS as DEFAULT_DURATION_LIMITS,
+)
+
+
+# ---------------------------------------------------------------- filtering
+
+
+def _duration_bounds(label: str, limits: dict) -> tuple[float, float]:
+    if label in limits:
+        lo, hi = limits[label]
+    elif "default" in limits:
+        lo, hi = limits["default"]
+    else:
+        lo, hi = None, None
+    return (0.0 if lo is None else lo), (np.inf if hi is None else hi)
+
+
+def filter_predictions(
+    predicted_labels: pd.DataFrame,
+    delta_t: float,
+    call_duration_limits: dict | Path | str = DEFAULT_DURATION_LIMITS,
+    label_suffix: str = "*",
+    verbosity: int = 2,
+    msgr: Messenger | None = None,
+) -> pd.DataFrame:
+    """Drop predictions outside their per-call duration limits.
+
+    Matches reference filter_predictions (predict.py:69-159): limits are
+    keyed by label with the prediction suffix stripped, falling back to a
+    "default" entry; durations compared in seconds (duration * delta_t).
+    """
+    if msgr is None:
+        msgr = Messenger(verbosity=verbosity, title="Filtering predictions")
+    msgr.part("Filtering predictions")
+
+    if isinstance(call_duration_limits, (Path, str)):
+        call_duration_limits = read_json(call_duration_limits)
+
+    df = predicted_labels.copy()
+    df["duration"] = df["stop"] - df["start"]
+
+    msgr.part("Filtering calls based on duration")
+    labels_stripped = df["label"].str.replace(label_suffix, "", regex=False)
+    bounds = labels_stripped.map(
+        lambda lab: _duration_bounds(lab, call_duration_limits)
+    )
+    lo = bounds.map(lambda b: b[0]).astype(float)
+    hi = bounds.map(lambda b: b[1]).astype(float)
+    dur_s = df["duration"] * delta_t
+    status = np.where(dur_s < lo, "too short", np.where(dur_s > hi, "too long", "keep"))
+    df["duration_ok"] = status
+
+    n_short = int((status == "too short").sum())
+    n_long = int((status == "too long").sum())
+    msgr.info(
+        f"Discarding {n_short + n_long} calls based on duration "
+        f"(too short: {n_short}, too long: {n_long})"
+    )
+    kept = df[df["duration_ok"] == "keep"]
+    msgr.success("Filtering predictions finished.")
+    return kept
+
+
+def filter_predictions_file(
+    predicted_labels: Path | str,
+    output_file: Path | str = "default",
+    overwrite: bool = False,
+    call_duration_limits: dict | Path | str = DEFAULT_DURATION_LIMITS,
+    label_suffix: str = "*",
+    verbosity: int = 2,
+    msgr: Messenger | None = None,
+) -> None:
+    """Re-filter an existing predictions TSV (already in seconds: delta_t=1)."""
+    if msgr is None:
+        msgr = Messenger(verbosity=verbosity, title="Filtering predictions")
+    if output_file == "default":
+        filename = Path(predicted_labels).stem + "_filtered.txt"
+        output_file = Path(predicted_labels).with_name(filename)
+    else:
+        output_file = Path(output_file)
+    msgr.info(f"Output file: {output_file}")
+    if output_file.exists() and not overwrite:
+        raise FileExistsError(f"Annotation file already exists: {output_file}")
+
+    df = pd.read_csv(predicted_labels, sep="\t", encoding="utf-8")
+    kept = filter_predictions(
+        df,
+        delta_t=1,
+        call_duration_limits=call_duration_limits,
+        label_suffix=label_suffix,
+        verbosity=verbosity,
+        msgr=msgr,
+    )
+    save_predictions(kept, output_file, delta_t=1, msgr=msgr)
+
+
+# ---------------------------------------------------------------- decoding
+
+
+def compute_labels(
+    row_starts,
+    row_stops,
+    label_names,
+    time_steps_per_output_step: int,
+    label_suffix: str | None,
+) -> pd.DataFrame:
+    """Output-step run indices -> sorted label table in spectrogram steps."""
+    if label_suffix:
+        label_names = [name + label_suffix for name in label_names]
+    return (
+        pd.DataFrame(
+            {
+                "start": np.asarray(row_starts, dtype=np.int64)
+                * time_steps_per_output_step,
+                "stop": np.asarray(row_stops, dtype=np.int64)
+                * time_steps_per_output_step,
+                "label": label_names,
+            }
+        )
+        .sort_values(by=["start", "stop", "label"])
+        .reset_index(drop=True)
+    )
+
+
+def predict_wav(
+    recording_path: Path | str,
+    channel: int,
+    predictor: WindowPredictor,
+    orcai_parameter: dict,
+    shape: dict,
+    label_suffix: str = "*",
+    msgr: Messenger | None = None,
+    progressbar: tqdm | None = None,
+) -> tuple[pd.DataFrame, np.ndarray, float]:
+    """Predict calls in one wav file.
+
+    Returns (predicted_labels, aggregated probabilities, delta_t).
+    """
+    if msgr is None:
+        msgr = Messenger(verbosity=0)
+    recording_path = Path(recording_path)
+
+    if progressbar:
+        progressbar.set_description(f"{recording_path.stem}: Generating spectrogram")
+        progressbar.refresh()
+    spectrogram, _, times = make_spectrogram(
+        recording_path, channel, orcai_parameter, msgr=msgr
+    )
+    delta_t = float(times[1] - times[0])
+    if spectrogram.shape[1] != shape["input_shape"][1]:
+        raise ValueError(
+            f"Spectrogram shape ({spectrogram.shape[1]}) for "
+            f"{recording_path.stem} not equal to input shape "
+            f"({shape['input_shape'][1]})"
+        )
+
+    msgr.part(f"Prediction of annotations for wav_file: {recording_path.stem}")
+    if progressbar:
+        progressbar.set_description(f"{recording_path.stem} - Predicting annotations")
+        progressbar.refresh()
+
+    aggregated, overlap_count = predictor.aggregate(spectrogram)
+    binary = predictor.binary_predictions(aggregated, overlap_count, threshold=0.5)
+
+    msgr.info("converting binary predictions into start and stop frames")
+    starts, stops, names = runs_from_binary_matrix(binary, orcai_parameter["calls"])
+    time_steps_per_output_step = 2 ** len(orcai_parameter["model"]["filters"])
+    predicted_labels = compute_labels(
+        starts, stops, names, time_steps_per_output_step, label_suffix
+    )
+    msgr.info(f"found {len(predicted_labels)} acoustic signals")
+    msgr.success("Prediction finished.")
+    return predicted_labels, aggregated, delta_t
+
+
+# ---------------------------------------------------------------- saving
+
+
+def _convert_times_to_seconds(df: pd.DataFrame, delta_t: float) -> pd.DataFrame:
+    df = df.copy()
+    df["start"] = df["start"] * delta_t
+    df["stop"] = df["stop"] * delta_t
+    return df
+
+
+def save_predictions(
+    predicted_labels: pd.DataFrame,
+    output_path: Path | str,
+    delta_t: float,
+    msgr: Messenger | None = None,
+) -> None:
+    """Write the Audacity-compatible TSV: start/stop in seconds + label."""
+    if msgr is None:
+        msgr = Messenger(verbosity=0)
+    out = _convert_times_to_seconds(predicted_labels, delta_t)
+    out[["start", "stop", "label"]].round(4).to_csv(
+        output_path, sep="\t", index=False
+    )
+    msgr.info(f"Predictions saved to {output_path}")
+
+
+def save_prediction_probabilities(
+    aggregated_predictions: np.ndarray,
+    orcai_parameter: dict,
+    delta_t: float,
+    output_path: Path | str,
+    msgr: Messenger | None = None,
+) -> None:
+    if msgr is None:
+        msgr = Messenger(verbosity=0)
+    output_path = Path(output_path)
+    probs_path = output_path.with_name(f"{output_path.stem}_probabilities.csv.gz")
+    pd.DataFrame(
+        aggregated_predictions,
+        columns=orcai_parameter["calls"],
+        index=delta_t * np.arange(len(aggregated_predictions)),
+    ).to_csv(probs_path, index_label="time", compression="gzip")
+    msgr.info(f"Prediction probabilities saved to {probs_path}")
+
+
+def _predict_and_save(
+    recording_path: Path,
+    channel: int,
+    predictor: WindowPredictor,
+    orcai_parameter: dict,
+    shape: dict,
+    output_path: Path | str | None = "default",
+    overwrite: bool = False,
+    save_probabilities: bool = False,
+    call_duration_limits: dict | Path | str | None = None,
+    label_suffix: str = "*",
+    msgr: Messenger | None = None,
+    progressbar: tqdm | None = None,
+) -> None:
+    if msgr is None:
+        msgr = Messenger(verbosity=0)
+    if output_path is not None:
+        if output_path == "default":
+            filename = (
+                f"{recording_path.stem}_c{channel}_"
+                f"{orcai_parameter['name']}_predicted.txt"
+            )
+            output_path = recording_path.with_name(filename)
+        else:
+            output_path = Path(output_path)
+        msgr.info(f"Output file: {output_path}")
+        if output_path.exists():
+            if overwrite:
+                msgr.warning(
+                    f"Output file {output_path} already exists. Overwriting."
+                )
+            else:
+                raise FileExistsError(
+                    f"Annotation file already exists: {output_path}"
+                )
+
+    predicted_labels, aggregated, delta_t = predict_wav(
+        recording_path,
+        channel,
+        predictor,
+        orcai_parameter,
+        shape,
+        label_suffix=label_suffix,
+        msgr=msgr,
+        progressbar=progressbar,
+    )
+
+    if call_duration_limits is not None:
+        predicted_labels = filter_predictions(
+            predicted_labels,
+            delta_t=delta_t,
+            call_duration_limits=call_duration_limits,
+            label_suffix=label_suffix,
+            msgr=msgr,
+        )
+
+    save_predictions(predicted_labels, output_path, delta_t, msgr=msgr)
+    if save_probabilities:
+        save_prediction_probabilities(
+            aggregated, orcai_parameter, delta_t, output_path, msgr=msgr
+        )
+
+
+def predict(
+    recording_path: str | Path,
+    channel: int = 1,
+    model_dir: str | Path | None = None,
+    output_path: str | Path | None = "default",
+    overwrite: bool = False,
+    save_probabilities: bool = False,
+    base_dir_recording: str | Path | None = None,
+    call_duration_limits: str | Path | None = None,
+    label_suffix: str = "*",
+    verbosity: int = 2,
+    msgr: Messenger | None = None,
+    predict_batch_size: int = 128,
+) -> None:
+    """Predict calls in one wav file or every row of a recording table CSV.
+
+    Batch mode wraps each recording in try/except so a single failure does
+    not stop the run (reference predict.py:735-755).
+    """
+    if msgr is None:
+        msgr = Messenger(verbosity=verbosity, title="Predicting calls")
+
+    if model_dir is None:
+        from orcai_tpu.pipeline.helpers import bundled_model_dir
+
+        model_dir = bundled_model_dir("orcai-v1")
+    model_dir = Path(model_dir)
+    recording_path = Path(recording_path)
+    msgr.part(f"Loading model: {model_dir.stem}")
+
+    model, variables, orcai_parameter, shape = load_orcai_model(model_dir)
+    predictor = WindowPredictor(
+        model,
+        variables,
+        snippet_len=shape["input_shape"][0],
+        n_filters=len(orcai_parameter["model"]["filters"]),
+        batch_size=predict_batch_size,
+    )
+
+    if recording_path.suffix == ".wav":
+        return _predict_and_save(
+            recording_path=recording_path,
+            channel=channel,
+            predictor=predictor,
+            orcai_parameter=orcai_parameter,
+            shape=shape,
+            output_path=output_path,
+            overwrite=overwrite,
+            save_probabilities=save_probabilities,
+            call_duration_limits=call_duration_limits,
+            label_suffix=label_suffix,
+            msgr=msgr,
+        )
+    elif recording_path.suffix == ".csv":
+        recording_table = pd.read_csv(recording_path)
+    else:
+        raise ValueError("Recording file must be a wav or csv file")
+
+    if base_dir_recording is not None:
+        recording_table["base_dir_recording"] = base_dir_recording
+
+    if output_path is not None and output_path != "default":
+        recording_table["output_path"] = [
+            Path(output_path).joinpath(
+                f"{recording}_{model_dir.stem}_predicted.txt"
+            )
+            for recording in recording_table["recording"]
+        ]
+    else:
+        recording_table["output_path"] = output_path
+
+    msgr.part(f"Predicting annotations for {len(recording_table)} wav files")
+    progressbar = tqdm(
+        recording_table.index, desc="Starting ...", unit="file",
+        disable=verbosity < 2,
+    )
+    for i in progressbar:
+        try:
+            _predict_and_save(
+                recording_path=Path(
+                    recording_table.loc[i, "base_dir_recording"]
+                ).joinpath(recording_table.loc[i, "rel_recording_path"]),
+                channel=recording_table.loc[i, "channel"],
+                predictor=predictor,
+                orcai_parameter=orcai_parameter,
+                shape=shape,
+                output_path=recording_table.loc[i, "output_path"],
+                overwrite=overwrite,
+                save_probabilities=save_probabilities,
+                call_duration_limits=call_duration_limits,
+                label_suffix=label_suffix,
+                msgr=Messenger(verbosity=0),
+                progressbar=progressbar,
+            )
+        except Exception as e:  # keep batch going on per-file failure
+            msgr.error(
+                f"Error predicting {recording_table.loc[i, 'recording']}: "
+                f"{e.args[0] if e.args else e}"
+            )
+    msgr.success("Predictions finished.")

@@ -1,0 +1,82 @@
+"""Overlap-add window inference vs a direct numpy implementation of the
+reference aggregation algorithm (predict.py:235-317)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orcai_tpu.models import build_model
+from orcai_tpu.ops.overlap import WindowPredictor
+
+PARAM = {
+    "name": "tiny",
+    "architecture": "ResNetLSTM",
+    "model": {
+        "filters": [4, 6, 8, 10],
+        "kernel_size": 3,
+        "dropout_rate": 0.5,
+        "lstm_units": 8,
+    },
+    "calls": ["A", "B", "C"],
+}
+SNIPPET, NBINS, NFILT = 64, 21, 4
+
+
+def _model_and_vars():
+    model = build_model(PARAM)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, SNIPPET, NBINS, 1)))
+    return model, variables
+
+
+def _reference_aggregate(spec, apply_fn):
+    """Direct transcription of the reference's aggregation semantics."""
+    shift = SNIPPET // 2
+    down = 2**NFILT
+    out_len = SNIPPET // down
+    n_win = (spec.shape[0] - SNIPPET) // shift + 1
+    snippets = np.stack([spec[i * shift : i * shift + SNIPPET] for i in range(n_win)])
+    preds = apply_fn(snippets[..., None])  # (n_win, out_len, L)
+    total = spec.shape[0] // down
+    agg = np.zeros((total, preds.shape[-1]))
+    cnt = np.zeros(total)
+    for i, p in enumerate(preds):
+        s = i * (shift // down)
+        agg[s : s + out_len] += p
+        cnt[s : s + out_len] += 1
+    m = cnt > 0
+    agg[m] /= cnt[m, None]
+    return agg, cnt
+
+
+def test_window_predictor_matches_reference_algorithm():
+    model, variables = _model_and_vars()
+
+    def apply_fn(x):
+        return np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+
+    rng = np.random.default_rng(0)
+    for t in [SNIPPET, 200, 513, 1024]:
+        spec = rng.uniform(size=(t, NBINS)).astype(np.float32)
+        wp = WindowPredictor(
+            model, variables, snippet_len=SNIPPET, n_filters=NFILT,
+            batch_size=4, max_windows_per_chunk=8,
+        )
+        agg, cnt = wp.aggregate(spec)
+        exp_agg, exp_cnt = _reference_aggregate(spec, apply_fn)
+        assert agg.shape == exp_agg.shape
+        np.testing.assert_array_equal(cnt, exp_cnt)
+        np.testing.assert_allclose(agg, exp_agg, atol=1e-5)
+
+        binary = wp.binary_predictions(agg, cnt)
+        exp_binary = (exp_agg > 0.5 / exp_cnt.max()).astype(np.int8)
+        np.testing.assert_array_equal(binary, exp_binary)
+
+
+def test_too_short_raises():
+    model, variables = _model_and_vars()
+    wp = WindowPredictor(model, variables, snippet_len=SNIPPET, n_filters=NFILT)
+    try:
+        wp.aggregate(np.zeros((SNIPPET - 1, NBINS), np.float32))
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
