@@ -1,0 +1,420 @@
+"""Training: jit'd data-parallel train step + keras-semantics callback loop.
+
+L4 equivalent of reference train.py:39-242, TPU-native:
+- one donated, jit-compiled train step (forward in the model dtype, masked
+  BCE from logits + l2 regularization, Adam) with batch inputs sharded over
+  the mesh "data" axis and parameters replicated — XLA GSPMD inserts the
+  gradient all-reduce (the reference pins a keras fit to a single GPU,
+  train.py:201);
+- host-side re-implementations of the callback semantics the reference
+  relies on: EarlyStopping(monitor val_MBA, mode max, restore best),
+  ModelCheckpoint(save_best_only), ReduceLROnPlateau(factor/patience/min_lr)
+  (train.py:165-184);
+- training_history.json / orcai_parameter.json / model_shape.json outputs
+  with the same schema (train.py:221-239).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import flax.serialization
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from orcai_tpu.io import read_json, write_json
+from orcai_tpu.io.dataset import ArrayDataset
+from orcai_tpu.io.model_store import load_orcai_model, save_orcai_model
+from orcai_tpu.models import build_model, l2_regularization
+from orcai_tpu.ops.losses import (
+    masked_binary_accuracy_counts,
+    weighted_masked_bce_from_logits,
+)
+from orcai_tpu.parallel import batch_sharding, make_mesh, replicated_sharding
+from orcai_tpu.parallel.mesh import mesh_for_batch
+from orcai_tpu.resources import DEFAULT_ORCAI_PARAMETER as DEFAULT_PARAMETER
+from orcai_tpu.utils import (
+    Messenger,
+    SEED_ID_LOAD_TRAIN_DATA,
+    SEED_ID_LOAD_VAL_DATA,
+)
+
+
+def _count_params(tree) -> int:
+    return int(sum(np.prod(x.shape) for x in jax.tree.leaves(tree)))
+
+
+def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
+    """Adam with a host-adjustable learning rate (for ReduceLROnPlateau)."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Rewrite the injected learning rate inside an optimizer state."""
+    return opt_state._replace(hyperparams={**opt_state.hyperparams,
+                                           "learning_rate": jnp.asarray(lr)})
+
+
+def get_learning_rate(opt_state) -> float:
+    return float(opt_state.hyperparams["learning_rate"])
+
+
+class Trainer:
+    """Owns the compiled train/eval steps for one model + optimizer."""
+
+    def __init__(
+        self,
+        model,
+        optimizer: optax.GradientTransformation,
+        call_weights: np.ndarray | None = None,
+        mesh=None,
+    ):
+        self.model = model
+        self.optimizer = optimizer
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.call_weights = (
+            jnp.asarray(call_weights, jnp.float32)
+            if call_weights is not None
+            else None
+        )
+
+        repl = replicated_sharding(self.mesh)
+        batch = batch_sharding(self.mesh)
+
+        self.train_step = jax.jit(
+            self._train_step,
+            donate_argnums=(0,),
+            in_shardings=((repl, repl, repl, repl), batch, batch),
+            out_shardings=((repl, repl, repl, repl), repl),
+        )
+        self.eval_step = jax.jit(
+            self._eval_step,
+            in_shardings=(repl, repl, batch, batch),
+            out_shardings=repl,
+        )
+
+    # -- state -------------------------------------------------------------
+
+    def init_state(self, input_shape, seed: int = 0):
+        rng = jax.random.key(seed)
+        variables = self.model.init(rng, jnp.zeros((1, *input_shape)))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.optimizer.init(params)
+        return (params, batch_stats, opt_state, jax.random.key(seed + 1))
+
+    def state_from_variables(self, variables: dict, seed: int = 0):
+        params = variables["params"]
+        opt_state = self.optimizer.init(params)
+        return (
+            params,
+            variables.get("batch_stats", {}),
+            opt_state,
+            jax.random.key(seed + 1),
+        )
+
+    # -- steps -------------------------------------------------------------
+
+    def _train_step(self, state, x, y):
+        params, batch_stats, opt_state, rng = state
+        rng, dropout_rng = jax.random.split(rng)
+
+        def loss_fn(p):
+            (logits, new_vars) = self.model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                x,
+                train=True,
+                return_logits=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
+            )
+            loss = weighted_masked_bce_from_logits(logits, y, self.call_weights)
+            loss = loss + l2_regularization(p)
+            return loss, (logits, new_vars["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, new_opt_state = self.optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        probs = jax.nn.sigmoid(logits)
+        correct, total = masked_binary_accuracy_counts(probs, y)
+        metrics = jnp.stack(
+            [loss, correct.astype(jnp.float32), total.astype(jnp.float32)]
+        )
+        return (new_params, new_stats, new_opt_state, rng), metrics
+
+    def _eval_step(self, params, batch_stats, x, y):
+        logits = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=False,
+            return_logits=True,
+        )
+        loss = weighted_masked_bce_from_logits(logits, y, self.call_weights)
+        loss = loss + l2_regularization(params)
+        probs = jax.nn.sigmoid(logits)
+        correct, total = masked_binary_accuracy_counts(probs, y)
+        return jnp.stack(
+            [loss, correct.astype(jnp.float32), total.astype(jnp.float32)]
+        )
+
+    # -- epoch loops ----------------------------------------------------------
+
+    def run_train_epoch(self, state, batches) -> tuple[tuple, dict]:
+        losses, correct, total, n = 0.0, 0.0, 0.0, 0
+        for x, y in batches:
+            state, metrics = self.train_step(state, jnp.asarray(x), jnp.asarray(y))
+            metrics = np.asarray(metrics)
+            losses += metrics[0]
+            correct += metrics[1]
+            total += metrics[2]
+            n += 1
+        return state, {
+            "loss": float(losses / max(n, 1)),
+            "MBA": float(correct / max(total, 1.0)),
+        }
+
+    def run_eval_epoch(self, state, batches, prefix: str = "val_") -> dict:
+        params, batch_stats = state[0], state[1]
+        losses, correct, total, n = 0.0, 0.0, 0.0, 0
+        for x, y in batches:
+            metrics = np.asarray(
+                self.eval_step(params, batch_stats, jnp.asarray(x), jnp.asarray(y))
+            )
+            losses += metrics[0]
+            correct += metrics[1]
+            total += metrics[2]
+            n += 1
+        return {
+            f"{prefix}loss": float(losses / max(n, 1)),
+            f"{prefix}MBA": float(correct / max(total, 1.0)),
+        }
+
+
+def fit(
+    trainer: Trainer,
+    state,
+    train_epoch_batches,
+    val_epoch_batches,
+    epochs: int,
+    monitor: str = "val_MBA",
+    early_stopping_patience: int = 10,
+    reduce_lr_patience: int = 3,
+    reduce_lr_factor: float = 0.5,
+    reduce_lr_min: float = 1e-7,
+    on_improve=None,
+    msgr: Messenger | None = None,
+    initial_lr: float | None = None,
+) -> tuple[tuple, dict]:
+    """Epoch loop with EarlyStopping / ReduceLROnPlateau / best-restore.
+
+    train_epoch_batches / val_epoch_batches: callables epoch -> batch iter.
+    on_improve: callback(state, history) fired when the monitored metric
+    improves (the ModelCheckpoint hook).
+    Returns (best state, history dict).
+    """
+    if msgr is None:
+        msgr = Messenger(verbosity=0)
+
+    history: dict[str, list] = {}
+    best_metric = -np.inf
+    best_state_bytes = None
+    stale_early = 0
+    stale_lr = 0
+    lr = initial_lr if initial_lr is not None else get_learning_rate(state[2])
+
+    for epoch in range(epochs):
+        t0 = time.time()
+        state, train_metrics = trainer.run_train_epoch(
+            state, train_epoch_batches(epoch)
+        )
+        val_metrics = trainer.run_eval_epoch(state, val_epoch_batches(epoch))
+        epoch_metrics = {**train_metrics, **val_metrics, "learning_rate": lr}
+        for k, v in epoch_metrics.items():
+            history.setdefault(k, []).append(v)
+
+        current = epoch_metrics[monitor]
+        improved = current > best_metric
+        msgr.info(
+            f"epoch {epoch + 1}/{epochs} "
+            f"[{time.time() - t0:.1f}s] "
+            + " ".join(f"{k}={v:.4f}" for k, v in epoch_metrics.items())
+            + (" *" if improved else "")
+        )
+
+        if improved:
+            best_metric = current
+            stale_early = 0
+            stale_lr = 0
+            best_state_bytes = flax.serialization.to_bytes(
+                {"params": jax.device_get(state[0]),
+                 "batch_stats": jax.device_get(state[1])}
+            )
+            if on_improve is not None:
+                on_improve(state, history)
+        else:
+            stale_early += 1
+            stale_lr += 1
+            if stale_lr >= reduce_lr_patience:
+                new_lr = max(lr * reduce_lr_factor, reduce_lr_min)
+                if new_lr < lr:
+                    lr = new_lr
+                    state = (state[0], state[1],
+                             set_learning_rate(state[2], lr), state[3])
+                    msgr.info(f"ReduceLROnPlateau: learning rate -> {lr:.2e}")
+                stale_lr = 0
+            if stale_early >= early_stopping_patience:
+                msgr.info(f"EarlyStopping at epoch {epoch + 1}")
+                break
+
+    # restore best weights (EarlyStopping(restore_best_weights=True))
+    if best_state_bytes is not None:
+        template = {
+            "params": jax.device_get(state[0]),
+            "batch_stats": jax.device_get(state[1]),
+        }
+        best = flax.serialization.from_bytes(template, best_state_bytes)
+        state = (
+            jax.tree.map(jnp.asarray, best["params"]),
+            jax.tree.map(jnp.asarray, best["batch_stats"]),
+            state[2],
+            state[3],
+        )
+    return state, history
+
+
+def train(
+    data_dir: Path | str,
+    output_dir: Path | str,
+    orcai_parameter: dict | Path | str = DEFAULT_PARAMETER,
+    data_compression: str | None = "GZIP",
+    load_model: bool = False,
+    verbosity: int = 2,
+    msgr: Messenger | None = None,
+    max_epochs: int | None = None,
+    model_dtype=jnp.float32,
+) -> None:
+    """Train an orcAI model from materialized TVT datasets.
+
+    Same inputs/outputs as reference train.py:39-242: reads
+    {train,val}_dataset + dataset_shapes.json (+ call_weights.json when
+    configured), writes <output_dir>/<name>/ with checkpoint + history +
+    parameter + shape JSONs. `load_model` resumes from the saved model.
+    """
+    if msgr is None:
+        msgr = Messenger(verbosity=verbosity, title="Training model")
+    msgr.print_platform_info(set_indent=1)
+    msgr.print_device_info(set_indent=1)
+
+    msgr.part("Loading parameter")
+    output_dir = Path(output_dir)
+    data_dir = Path(data_dir)
+    if isinstance(orcai_parameter, (Path, str)):
+        orcai_parameter = read_json(orcai_parameter)
+    model_name = orcai_parameter["name"]
+    mp = orcai_parameter["model"]
+    label_calls = orcai_parameter["calls"]
+
+    msgr.part(f"Loading training and validation datasets from {data_dir}")
+    if (data_dir / "dataset_shapes.json").exists():
+        dataset_shape = read_json(data_dir / "dataset_shapes.json")
+    else:
+        msgr.info("Using default OrcAI dataset shapes")
+        dataset_shape = {"spectrogram": [736, 171, 1], "labels": [46, 7]}
+
+    train_ds = ArrayDataset.load(data_dir / "train_dataset")
+    val_ds = ArrayDataset.load(data_dir / "val_dataset")
+    train_seed = [SEED_ID_LOAD_TRAIN_DATA, orcai_parameter["seed"]]
+    val_seed = [SEED_ID_LOAD_VAL_DATA, orcai_parameter["seed"]]
+
+    if mp.get("call_weights") is not None:
+        call_weights_dict = read_json(data_dir / "call_weights.json")
+        if list(call_weights_dict.keys()) != label_calls:
+            raise ValueError(
+                "Call weights do not match label calls. Please check the "
+                "call weights file. Order of calls must be the same as in "
+                "the orcAI parameter file."
+            )
+        call_weights = np.asarray(list(call_weights_dict.values()), np.float32)
+        msgr.info(f"Call weights: {call_weights_dict}")
+    else:
+        call_weights = None
+
+    msgr.info(f"Batch size {mp['batch_size']}")
+    model_dir = output_dir / model_name
+
+    model = build_model(orcai_parameter, dtype=model_dtype)
+    optimizer = make_optimizer(mp["learning_rate"])
+    trainer = Trainer(
+        model, optimizer, call_weights=call_weights,
+        mesh=mesh_for_batch(mp["batch_size"]),
+    )
+
+    seed_int = (
+        int(orcai_parameter["seed"]) % (2**31) if orcai_parameter["seed"] else 0
+    )
+    if load_model:
+        msgr.part("Loading model")
+        _, variables, _, _ = load_orcai_model(model_dir, dtype=model_dtype)
+        state = trainer.state_from_variables(variables, seed=seed_int)
+    else:
+        msgr.part("Building model")
+        state = trainer.init_state(tuple(dataset_shape["spectrogram"]), seed=seed_int)
+
+    total_params = _count_params(state[0])
+    msgr.info("Model size:", indent=1)
+    msgr.info(f"Trainable parameter: {total_params}", indent=-1)
+    msgr.print_memory_usage()
+
+    msgr.part(f"Fitting model: {model_name}")
+    msgr.info(f"Monitoring {mp['monitor']}")
+
+    def save_checkpoint(current_state, history):
+        save_orcai_model(
+            model_dir,
+            orcai_parameter,
+            {"params": jax.device_get(current_state[0]),
+             "batch_stats": jax.device_get(current_state[1])},
+            input_shape=tuple(dataset_shape["spectrogram"]),
+        )
+
+    epochs = max_epochs if max_epochs is not None else mp["epochs"]
+    state, history = fit(
+        trainer,
+        state,
+        train_epoch_batches=lambda e: train_ds.batches(
+            mp["batch_size"], seed=train_seed, epoch=e
+        ),
+        val_epoch_batches=lambda e: val_ds.batches(
+            mp["batch_size"], seed=val_seed, epoch=e
+        ),
+        epochs=epochs,
+        monitor=mp["monitor"],
+        early_stopping_patience=mp["EarlyStopping_patience"],
+        reduce_lr_patience=mp["ReduceLROnPlateau_patience"],
+        reduce_lr_factor=mp["ReduceLROnPlateau_factor"],
+        reduce_lr_min=mp["ReduceLROnPlateau_min_learning_rate"],
+        on_improve=save_checkpoint,
+        msgr=msgr,
+        initial_lr=mp["learning_rate"],
+    )
+
+    msgr.part("Saving Model")
+    opt_bytes = flax.serialization.to_bytes(jax.device_get(state[2]))
+    save_orcai_model(
+        model_dir,
+        orcai_parameter,
+        {"params": jax.device_get(state[0]),
+         "batch_stats": jax.device_get(state[1])},
+        input_shape=tuple(dataset_shape["spectrogram"]),
+        opt_state_bytes=opt_bytes,
+        train_state={"epochs_run": len(history.get("loss", []))},
+    )
+    write_json(history, model_dir / "training_history.json")
+    msgr.success(
+        f"Training model finished. Model saved to {model_name}.msgpack"
+    )

@@ -1,0 +1,176 @@
+"""Training subsystem: jit'd sharded train step, callback semantics, full
+train() on a synthetic materialized dataset, resume."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from orcai_tpu.io import read_json
+from orcai_tpu.io.dataset import ArrayDataset
+from orcai_tpu.models import build_model
+from orcai_tpu.parallel.mesh import make_mesh, mesh_for_batch
+from orcai_tpu.train.trainer import (
+    Trainer,
+    fit,
+    get_learning_rate,
+    make_optimizer,
+    set_learning_rate,
+    train,
+)
+from orcai_tpu.utils import Messenger
+
+PARAM = {
+    "name": "train-test",
+    "architecture": "ResNetLSTM",
+    "model": {
+        "epochs": 3,
+        "batch_size": 8,
+        "filters": [2, 3, 4, 5],
+        "kernel_size": 3,
+        "dropout_rate": 0.1,
+        "lstm_units": 4,
+        "n_batch_train": 2,
+        "n_batch_val": 1,
+        "n_batch_test": 1,
+        "shuffle": True,
+        "learning_rate": 1e-2,
+        "EarlyStopping_patience": 10,
+        "ReduceLROnPlateau_patience": 3,
+        "ReduceLROnPlateau_factor": 0.5,
+        "ReduceLROnPlateau_min_learning_rate": 1e-7,
+        "call_weights": None,
+        "monitor": "val_MBA",
+    },
+    "calls": ["A", "B"],
+    "seed": 42,
+}
+
+INPUT_SHAPE = (32, 21, 1)
+OUT_STEPS = 2  # 32 / 2**4
+
+
+def _synthetic_arrays(n=32, seed=0):
+    """Learnable toy data: label 1 iff mean energy of the window is high."""
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(size=(n, *INPUT_SHAPE)).astype(np.float32)
+    strong = rng.integers(0, 2, size=(n, OUT_STEPS, 2)).astype(np.float32)
+    for i in range(n):
+        for t in range(OUT_STEPS):
+            if strong[i, t, 0] > 0.5:
+                x[i, t * 16 : (t + 1) * 16, :5] += 2.0
+            if strong[i, t, 1] > 0.5:
+                x[i, t * 16 : (t + 1) * 16, 10:15] += 2.0
+    return x, strong
+
+
+def test_mesh_for_batch():
+    mesh = mesh_for_batch(8)
+    assert mesh.shape["data"] == 8  # 8 virtual CPU devices
+    mesh = mesh_for_batch(6)
+    assert mesh.shape["data"] in (6, 3, 2, 1)
+    assert 6 % mesh.shape["data"] == 0
+
+
+def test_train_step_runs_and_learns():
+    model = build_model(PARAM)
+    trainer = Trainer(model, make_optimizer(1e-2), mesh=mesh_for_batch(8))
+    state = trainer.init_state(INPUT_SHAPE, seed=0)
+
+    x, y = _synthetic_arrays(n=64)
+
+    def batches(epoch):
+        for b in range(8):
+            yield x[b * 8 : (b + 1) * 8], y[b * 8 : (b + 1) * 8]
+
+    state, m0 = trainer.run_train_epoch(state, batches(0))
+    for _ in range(6):
+        state, m = trainer.run_train_epoch(state, batches(0))
+    assert m["loss"] < m0["loss"]
+    assert m["MBA"] > 0.6
+
+
+def test_lr_set_get():
+    model = build_model(PARAM)
+    trainer = Trainer(model, make_optimizer(1e-2), mesh=make_mesh(n_data=1))
+    state = trainer.init_state(INPUT_SHAPE, seed=0)
+    assert get_learning_rate(state[2]) == pytest.approx(1e-2)
+    new_opt = set_learning_rate(state[2], 5e-3)
+    assert get_learning_rate(new_opt) == pytest.approx(5e-3)
+
+
+def test_fit_early_stopping_and_reduce_lr():
+    model = build_model(PARAM)
+    trainer = Trainer(model, make_optimizer(1e-3), mesh=make_mesh(n_data=1))
+    state = trainer.init_state(INPUT_SHAPE, seed=0)
+    x, y = _synthetic_arrays(n=8)
+
+    def train_batches(epoch):
+        yield x, y
+
+    # constant val metric -> no improvement after epoch 1 -> early stop
+    state, history = fit(
+        trainer,
+        state,
+        train_batches,
+        train_batches,
+        epochs=20,
+        early_stopping_patience=4,
+        reduce_lr_patience=2,
+        initial_lr=1e-3,
+    )
+    n_epochs = len(history["loss"])
+    assert n_epochs < 20  # early-stopped
+    assert "val_MBA" in history and "learning_rate" in history
+
+
+def test_train_e2e_and_resume(tmp_path):
+    x, y = _synthetic_arrays(n=32)
+
+    class ListLoader:
+        def __len__(self):
+            return len(x)
+
+        def __iter__(self):
+            return iter(zip(x, y))
+
+    for split in ["train", "val"]:
+        ArrayDataset.save_from_loader(
+            ListLoader(), tmp_path / f"{split}_dataset", compression=None
+        )
+    import json
+
+    (tmp_path / "dataset_shapes.json").write_text(
+        json.dumps({"spectrogram": list(INPUT_SHAPE), "labels": [OUT_STEPS, 2]})
+    )
+
+    out = tmp_path / "out"
+    out.mkdir()
+    train(
+        tmp_path,
+        out,
+        orcai_parameter=PARAM,
+        msgr=Messenger(verbosity=0),
+        verbosity=0,
+    )
+    model_dir = out / "train-test"
+    assert (model_dir / "train-test.msgpack").exists()
+    assert (model_dir / "orcai_parameter.json").exists()
+    shape = read_json(model_dir / "model_shape.json")
+    assert shape == {"input_shape": list(INPUT_SHAPE), "num_labels": 2}
+    history = read_json(model_dir / "training_history.json")
+    assert len(history["loss"]) == 3
+
+    # resume from saved model
+    train(
+        tmp_path,
+        out,
+        orcai_parameter=PARAM,
+        load_model=True,
+        max_epochs=1,
+        msgr=Messenger(verbosity=0),
+        verbosity=0,
+    )
+    history2 = read_json(model_dir / "training_history.json")
+    assert len(history2["loss"]) == 1
