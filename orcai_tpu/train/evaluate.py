@@ -1,0 +1,287 @@
+"""Model evaluation: confusion tables + misclassification tables.
+
+L4 equivalent of reference test.py:23-420. The reference walks every output
+row in a Python loop (test.py:67-91, O(rows) interpreter time); here both
+tables are computed as vectorized one-hot matrix products over the stacked
+(rows, labels) matrices, with identical semantics:
+
+- confusion table: per-call TP/FN/FP/TN rates + precision/recall/F1 over
+  unmasked positions, prediction threshold 0.5 (test.py:160-225);
+- misclassification tables (both directions): restricted to rows with at
+  most one active label in the source matrix; a source row with one active
+  label c1 contributes 1/k to (c1, c2) for each of the k active target
+  labels, 1 to (c1, NOLABEL) if none, and is skipped entirely when the
+  target is masked at c1; label-free rows attribute from NOLABEL
+  (test.py:37-105). Rows are normalized and rounded to 3 decimals with a
+  fraction_time column.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from orcai_tpu.io.dataset import ArrayDataset
+from orcai_tpu.io.model_store import load_orcai_model
+from orcai_tpu.utils import (
+    MASK_VALUE,
+    Messenger,
+    SEED_ID_LOAD_TEST_DATA,
+    SEED_ID_LOAD_UNFILTERED_TEST_DATA,
+)
+
+
+def compute_confusion_table(
+    y_true_batch: np.ndarray,
+    y_pred_batch: np.ndarray,
+    label_names: list[str],
+) -> pd.DataFrame:
+    """Per-call confusion rates over (batch, time, labels) arrays."""
+    y_true = np.asarray(y_true_batch)
+    y_pred = (np.asarray(y_pred_batch) >= 0.5).astype(int)
+    assert y_true.shape == y_pred.shape
+
+    table = {}
+    for i, name in enumerate(label_names):
+        t = y_true[..., i].ravel()
+        p = y_pred[..., i].ravel()
+        mask = t != MASK_VALUE
+        t, p = t[mask], p[mask]
+        tp = int(np.sum((t == 1) & (p == 1)))
+        fn = int(np.sum((t == 1) & (p == 0)))
+        fp = int(np.sum((t == 0) & (p == 1)))
+        tn = int(np.sum((t == 0) & (p == 0)))
+        tot = tp + fn + fp + tn
+        table[name] = {
+            "TP": tp / tot if tot else np.nan,
+            "FN": fn / tot if tot else np.nan,
+            "FP": fp / tot if tot else np.nan,
+            "TN": tn / tot if tot else np.nan,
+            "PR": tp / (tp + fp) if tp + fp > 0 else np.nan,
+            "RE": tp / (tp + fn) if tp + fn > 0 else np.nan,
+            "F1": 2 * tp / (2 * tp + fp + fn) if tp + fp + fn > 0 else np.nan,
+            "Total": int(tot),
+        }
+    return pd.DataFrame.from_dict(table, orient="index").sort_values(
+        by="Total", ascending=False
+    )
+
+
+def _attribution_matrix(m1: np.ndarray, m2: np.ndarray, n_labels: int) -> np.ndarray:
+    """Vectorized (L+1, L+1) misclassification counts, source m1 -> target m2.
+
+    Row selection (<=1 active label in m1) is assumed done by the caller.
+    """
+    ones1 = m1 == 1
+    ones2 = m2 == 1
+    count1 = ones1.sum(axis=1)
+    k2 = ones2.sum(axis=1)
+
+    # source one-hot rows (L+1): active label or NOLABEL
+    src = np.zeros((m1.shape[0], n_labels + 1))
+    single = count1 == 1
+    src[single, :n_labels] = ones1[single]
+    src[count1 == 0, n_labels] = 1.0
+
+    # rows with one source label are dropped when the target is masked there
+    # (reference test.py:71-73)
+    c1_idx = np.argmax(ones1, axis=1)
+    masked_at_c1 = m2[np.arange(m1.shape[0]), c1_idx] == -1
+    src[single & masked_at_c1] = 0.0
+
+    # target attribution rows: 1/k over active labels, or NOLABEL
+    tgt = np.zeros((m1.shape[0], n_labels + 1))
+    has2 = k2 > 0
+    tgt[has2, :n_labels] = ones2[has2] / k2[has2, None]
+    tgt[~has2, n_labels] = 1.0
+
+    return src.T @ tgt
+
+
+def _misclassification_table(
+    m1: np.ndarray,
+    m2: np.ndarray,
+    suffix_1: str,
+    suffix_2: str,
+    label_names: list[str],
+) -> pd.DataFrame:
+    n_labels = len(label_names)
+    counts = _attribution_matrix(m1, m2, n_labels)
+    row_sum = counts.sum(axis=1, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        norm = np.around(counts / row_sum, 3)
+    table = pd.DataFrame(
+        norm,
+        columns=[f"{suffix_2}_{x}" for x in label_names] + [f"{suffix_2}_NOLABEL"],
+        index=[f"{suffix_1}_{x}" for x in label_names] + [f"{suffix_1}_NOLABEL"],
+    )
+    table["fraction_time"] = np.around(row_sum / row_sum.sum(), 5)
+    return table
+
+
+def compute_misclassification_tables(
+    label_matrix_1: np.ndarray,
+    label_matrix_2: np.ndarray,
+    suffix_1: str,
+    suffix_2: str,
+    label_names: list[str],
+) -> dict[str, pd.DataFrame]:
+    """Both directional misclassification tables (true->pred, pred->true)."""
+    m1 = np.asarray(label_matrix_1)
+    m2 = np.asarray(label_matrix_2)
+    mask1 = (m1 == 1).sum(axis=1) <= 1
+    mask2 = (m2 == 1).sum(axis=1) <= 1
+    return {
+        f"{suffix_1}_{suffix_2}": _misclassification_table(
+            m1[mask1], m2[mask1], suffix_1, suffix_2, label_names
+        ),
+        f"{suffix_2}_{suffix_1}": _misclassification_table(
+            m2[mask2], m1[mask2], suffix_2, suffix_1, label_names
+        ),
+    }
+
+
+def _test_model_on_dataset(
+    trainer,
+    state,
+    dataset: ArrayDataset,
+    batch_size: int,
+    seed,
+    label_names: list[str],
+    dataset_name: str,
+    msgr: Messenger,
+) -> dict:
+    import jax.numpy as jnp
+    import jax
+
+    msgr.part(f"Testing model on {dataset_name}")
+    params, batch_stats = state[0], state[1]
+
+    y_true_parts, y_pred_parts = [], []
+    losses, correct, total, n = 0.0, 0.0, 0.0, 0
+    for x, y in dataset.batches(batch_size, seed=seed):
+        metrics = np.asarray(
+            trainer.eval_step(params, batch_stats, jnp.asarray(x), jnp.asarray(y))
+        )
+        losses += metrics[0]
+        correct += metrics[1]
+        total += metrics[2]
+        n += 1
+        logits = trainer.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.asarray(x),
+            train=False,
+            return_logits=True,
+        )
+        y_pred_parts.append(np.asarray(jax.nn.sigmoid(logits)))
+        y_true_parts.append(y)
+
+    data_metrics = {
+        "loss": float(losses / max(n, 1)),
+        "MBA": float(correct / max(total, 1.0)),
+    }
+    msgr.info(data_metrics)
+
+    y_true = np.concatenate(y_true_parts, axis=0)
+    y_pred = np.concatenate(y_pred_parts, axis=0)
+
+    msgr.part(f"Calculating confusion table for {dataset_name}")
+    confusion_table = compute_confusion_table(y_true, y_pred, label_names)
+    msgr.info(confusion_table)
+
+    y_true_stacked = np.vstack(y_true).astype(int)
+    y_pred_stacked = np.vstack((y_pred >= 0.5).astype(int))
+    tables = compute_misclassification_tables(
+        y_true_stacked, y_pred_stacked, "true", "pred", label_names
+    )
+    msgr.part("Misclassification tables on dataset:")
+    for key, tbl in tables.items():
+        msgr.info("\n" + key, indent=1)
+        msgr.info(tbl, indent=-1)
+
+    return {
+        "dataset": dataset_name,
+        "data_metrics": data_metrics,
+        "confusion_table": confusion_table,
+        "misclassification_tables": tables,
+    }
+
+
+def _save_test_results(results: dict, save_dir: Path, msgr: Messenger) -> None:
+    msgr.part("Saving test results")
+    name = results["dataset"]
+    os.makedirs(save_dir, exist_ok=True)
+    with open(save_dir / f"{name}_metrics.json", "w") as f:
+        json.dump(results["data_metrics"], f)
+    results["confusion_table"].to_csv(
+        save_dir / f"{name}_confusion_table.csv", index_label="Label"
+    )
+    for key, tbl in results["misclassification_tables"].items():
+        tbl.to_csv(
+            save_dir / f"{name}_misclassification_table_{key}.csv",
+            index_label="Label",
+        )
+
+
+def test_model(
+    model_dir: Path | str,
+    data_dir: Path | str,
+    test_unfiltered: bool = True,
+    output_dir: Path | str | None = None,
+    data_compression: str | None = "GZIP",
+    verbosity: int = 2,
+    msgr: Messenger | None = None,
+) -> None:
+    """Evaluate a trained model on the test (and optional unfiltered test)
+    dataset; writes metrics JSON + confusion/misclassification CSVs."""
+    from orcai_tpu.train.trainer import Trainer, make_optimizer
+    from orcai_tpu.parallel.mesh import mesh_for_batch
+
+    if msgr is None:
+        msgr = Messenger(verbosity=verbosity, title="Testing model")
+    data_dir = Path(data_dir)
+    model_dir = Path(model_dir)
+    output_dir = Path(output_dir) if output_dir else model_dir / "test"
+
+    msgr.part("Loading model")
+    model, variables, orcai_parameter, _ = load_orcai_model(model_dir)
+    mp = orcai_parameter["model"]
+    calls = orcai_parameter["calls"]
+
+    trainer = Trainer(
+        model,
+        make_optimizer(mp["learning_rate"]),
+        mesh=mesh_for_batch(mp["batch_size"]),
+    )
+    state = trainer.state_from_variables(variables)
+
+    test_ds = ArrayDataset.load(data_dir / "test_dataset")
+    seed = (
+        [SEED_ID_LOAD_TEST_DATA, orcai_parameter["seed"]]
+        if orcai_parameter["seed"] is not None
+        else None
+    )
+    results = _test_model_on_dataset(
+        trainer, state, test_ds, mp["batch_size"], seed, calls, "test_data", msgr
+    )
+    _save_test_results(results, output_dir, msgr)
+    msgr.info(f"Saved test results to {output_dir}")
+
+    if test_unfiltered and (data_dir / "test_unfiltered_dataset").exists():
+        unfiltered = ArrayDataset.load(data_dir / "test_unfiltered_dataset")
+        seed = (
+            [SEED_ID_LOAD_UNFILTERED_TEST_DATA, orcai_parameter["seed"]]
+            if orcai_parameter["seed"] is not None
+            else None
+        )
+        results = _test_model_on_dataset(
+            trainer, state, unfiltered, mp["batch_size"], seed, calls,
+            "test_unfiltered_dataset", msgr,
+        )
+        _save_test_results(results, output_dir, msgr)
+
+    msgr.success("Model testing completed.")

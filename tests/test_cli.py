@@ -1,0 +1,66 @@
+"""CLI surface: all 12 subcommands exist with working --help, and a smoke
+run of init through the CLI runner."""
+
+from click.testing import CliRunner
+
+from orcai_tpu.cli import cli
+
+EXPECTED_COMMANDS = {
+    "predict",
+    "filter-predictions",
+    "init",
+    "create-recording-table",
+    "create-spectrograms",
+    "create-label-arrays",
+    "create-snippet-table",
+    "create-tvt-snippet-tables",
+    "create-tvt-data",
+    "train",
+    "test",
+    "hpsearch",
+}
+
+
+def test_all_subcommands_present():
+    assert set(cli.commands.keys()) == EXPECTED_COMMANDS
+
+
+def test_help_all_commands():
+    runner = CliRunner()
+    result = runner.invoke(cli, ["--help"])
+    assert result.exit_code == 0
+    for cmd in EXPECTED_COMMANDS:
+        result = runner.invoke(cli, [cmd, "--help"])
+        assert result.exit_code == 0, cmd
+
+
+def test_version():
+    runner = CliRunner()
+    result = runner.invoke(cli, ["--version"])
+    assert result.exit_code == 0
+
+
+def test_cli_init(tmp_path):
+    runner = CliRunner()
+    result = runner.invoke(
+        cli, ["init", str(tmp_path / "proj"), "cliproj", "-v", "0"]
+    )
+    assert result.exit_code == 0, result.output
+    assert (tmp_path / "proj" / "cliproj_orcai_parameter.json").exists()
+
+
+def test_cli_filter_predictions(tmp_path):
+    pred = tmp_path / "x_predicted.txt"
+    pred.write_text("start\tstop\tlabel\n1.0\t2.0\tBR*\n3.0\t3.001\tBUZZ*\n")
+    limits = tmp_path / "limits.json"
+    limits.write_text('{"default": [0.01, null]}')
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        ["filter-predictions", str(pred), "-cdl", str(limits), "-v", "0"],
+    )
+    assert result.exit_code == 0, result.output
+    out = tmp_path / "x_predicted_filtered.txt"
+    assert out.exists()
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 2  # header + 1 kept (the 1 ms one dropped)

@@ -1,0 +1,91 @@
+"""Evaluation tables vs a direct transcription of the reference's row-loop
+algorithm (test.py:37-225)."""
+
+import numpy as np
+import pandas as pd
+
+from orcai_tpu.train.evaluate import (
+    compute_confusion_table,
+    compute_misclassification_tables,
+)
+
+MASK = -1.0
+
+
+def _reference_misclassification(m1, m2, s1, s2, names):
+    """Row-by-row transcription of the reference algorithm for testing."""
+    num = len(names)
+    mat = np.zeros((num + 1, num + 1))
+    for r in range(m1.shape[0]):
+        c1 = np.where(m1[r, :] == 1)[0]
+        c2 = np.where(m2[r, :] == 1)[0]
+        if len(c1) == 1:
+            if m2[r, c1] != -1:
+                if len(c2) > 0:
+                    for c in c2:
+                        mat[c1, c] += 1 / len(c2)
+                else:
+                    mat[c1, num] += 1
+        if len(c1) == 0:
+            if len(c2) > 0:
+                for c in c2:
+                    mat[num, c] += 1 / len(c2)
+            else:
+                mat[num, num] += 1
+    row_sum = mat.sum(axis=1, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        norm = np.around(mat / row_sum, 3)
+    table = pd.DataFrame(
+        norm,
+        columns=[f"{s2}_{x}" for x in names] + [f"{s2}_NOLABEL"],
+        index=[f"{s1}_{x}" for x in names] + [f"{s1}_NOLABEL"],
+    )
+    table["fraction_time"] = np.around(row_sum / row_sum.sum(), 5)
+    return table
+
+
+def _random_label_matrices(seed, n=500, labels=4):
+    rng = np.random.default_rng(seed)
+    m1 = rng.choice([0, 1], size=(n, labels), p=[0.8, 0.2])
+    m2 = rng.choice([0, 1, -1], size=(n, labels), p=[0.7, 0.2, 0.1])
+    # mask some m1 entries too
+    m1 = np.where(rng.uniform(size=m1.shape) < 0.05, -1, m1)
+    return m1, m2
+
+
+def test_misclassification_matches_reference_loop():
+    for seed in range(3):
+        m1, m2 = _random_label_matrices(seed)
+        names = ["A", "B", "C", "D"]
+
+        mask1 = (m1 == 1).sum(axis=1) <= 1
+        mask2 = (m2 == 1).sum(axis=1) <= 1
+        expected_12 = _reference_misclassification(
+            m1[mask1], m2[mask1], "true", "pred", names
+        )
+        expected_21 = _reference_misclassification(
+            m2[mask2], m1[mask2], "pred", "true", names
+        )
+
+        got = compute_misclassification_tables(m1, m2, "true", "pred", names)
+        pd.testing.assert_frame_equal(got["true_pred"], expected_12)
+        pd.testing.assert_frame_equal(got["pred_true"], expected_21)
+
+
+def test_confusion_table():
+    y_true = np.array(
+        [[[1, 0], [0, MASK]], [[0, 1], [1, MASK]]], dtype=np.float32
+    )  # (2, 2, 2)
+    y_pred = np.array(
+        [[[0.9, 0.2], [0.3, 0.99]], [[0.6, 0.8], [0.2, 0.99]]], dtype=np.float32
+    )
+    table = compute_confusion_table(y_true, y_pred, ["A", "B"])
+    # label A: true [1,0,0,1], pred [1,0,1,0] -> tp=1 fp=1 fn=1 tn=1
+    row = table.loc["A"]
+    assert row["Total"] == 4
+    assert row["TP"] == 0.25 and row["FP"] == 0.25
+    assert row["PR"] == 0.5 and row["RE"] == 0.5
+    # label B: masked positions dropped -> true [0,1], pred [0,1]
+    row = table.loc["B"]
+    assert row["Total"] == 2
+    assert row["F1"] == 1.0
