@@ -80,10 +80,8 @@ def load_orcai_model(model_dir: Path | str, dtype=jnp.float32):
     msgpack_path = model_dir / f"{name}.msgpack"
     keras_path = model_dir / f"{name}.keras"
     if msgpack_path.exists():
-        template = model.init(
-            jax.random.key(0), jnp.zeros((1, *shape["input_shape"]))
-        )
-        variables = load_variables(msgpack_path, template)
+        # untyped restore: no on-device init needed just to load weights
+        variables = load_variables(msgpack_path)
     elif keras_path.exists():
         from orcai_tpu.io.keras_convert import load_keras_checkpoint
 

@@ -70,6 +70,36 @@ def resample_audio(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarra
     return out.astype(np.float32)
 
 
+def load_wav_for_frontend(
+    path: Path | str, sr: int, channel: int = 1
+) -> tuple[np.ndarray, bool]:
+    """Mono audio for the device frontend, minimizing host work and upload.
+
+    Returns (audio, multichannel_flag). When the file is 16-bit PCM at the
+    target rate, the raw int16 samples are returned untouched — the frontend
+    scales them to [-1, 1] on device, halving host->device transfer volume.
+    Otherwise falls back to float32 decode + resample.
+    """
+    native_sr, data = wavfile.read(str(path))
+    multichannel = data.ndim == 2
+    if multichannel:
+        data = np.ascontiguousarray(data.T)[channel - 1]
+    if data.dtype == np.int16 and native_sr == sr:
+        return data, multichannel
+    # general path
+    if data.dtype == np.int16:
+        audio = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        audio = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        audio = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        audio = data.astype(np.float32)
+    if native_sr != sr:
+        audio = resample_audio(audio, native_sr, sr)
+    return audio, multichannel
+
+
 def write_wav(path: Path | str, sr: int, audio: np.ndarray) -> None:
     """Write float32 audio ((n,) or (channels, n)) as 16-bit PCM WAV."""
     data = np.asarray(audio)

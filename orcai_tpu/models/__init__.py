@@ -3,6 +3,7 @@ from orcai_tpu.models.crnn import (
     ResNet1DConv,
     ResNetLSTM,
     build_model,
+    init_variables,
     l2_regularization,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "ResNetLSTM",
     "ResNet1DConv",
     "build_model",
+    "init_variables",
     "l2_regularization",
 ]

@@ -32,6 +32,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from orcai_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
 _AMIN = 1e-5  # librosa amplitude_to_db amin
 _TOP_DB = 80.0
 _MIN_BUCKET = 2048  # minimum padded frame count (bounds recompilation)
@@ -98,10 +102,14 @@ def _build_spectrogram_fn(
     hi_idx: int,
     precision: str,
 ):
-    """jit'd (padded_frames_audio, n_valid_frames) -> normalized (Tpad, bins)."""
-    C, S = _dft_mats(n_fft)
-    C = jnp.asarray(C)
-    S = jnp.asarray(S)
+    """jit'd (padded_frames_audio, n_valid_frames) -> normalized (Tpad, bins).
+
+    The DFT matrices are passed as arguments, not closure constants: large
+    embedded constants stall compilation on remote-dispatch TPU backends and
+    defeat the persistent compilation cache.
+    """
+    C_dev = jnp.asarray(_dft_mats(n_fft)[0])
+    S_dev = jnp.asarray(_dft_mats(n_fft)[1])
     prec = (
         jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
     )
@@ -109,12 +117,17 @@ def _build_spectrogram_fn(
     assert n_fft % hop == 0, "frontend requires hop dividing n_fft"
 
     @jax.jit
-    def spec_fn(
+    def spec_fn_impl(
         padded: jnp.ndarray,
         n_valid: jnp.ndarray,
         idx_lo: jnp.ndarray,
         idx_hi: jnp.ndarray,
+        C: jnp.ndarray,
+        S: jnp.ndarray,
     ) -> jnp.ndarray:
+        # int16 PCM is scaled to [-1, 1] on device (halves upload volume)
+        if padded.dtype == jnp.int16:
+            padded = padded.astype(jnp.float32) * (1.0 / 32768.0)
         # frame extraction via the strided-reshape trick: padded length is
         # (Tpad - 1) * hop + n_fft; rows of x2 are hop-sized blocks and frame
         # t is the concatenation of blocks t .. t + k - 1.
@@ -150,6 +163,9 @@ def _build_spectrogram_fn(
         out = (jnp.clip(dbc, lo, hi) - lo) / (hi - lo)
         return jnp.clip(out, 0.0, 1.0).astype(jnp.float32)
 
+    def spec_fn(padded, n_valid, idx_lo, idx_hi):
+        return spec_fn_impl(padded, n_valid, idx_lo, idx_hi, C_dev, S_dev)
+
     return spec_fn
 
 
@@ -160,7 +176,7 @@ def _bucket_frames(n_frames: int) -> int:
     return b
 
 
-def compute_spectrogram(
+def compute_spectrogram_device(
     audio: np.ndarray,
     sampling_rate: int,
     n_fft: int,
@@ -168,15 +184,17 @@ def compute_spectrogram(
     freq_range,
     quantiles,
     precision: str = "highest",
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Full frontend for one recording.
+) -> tuple[jnp.ndarray, int, np.ndarray, np.ndarray]:
+    """Device-resident frontend for one recording.
 
-    Returns (spectrogram (T, bins) float32 in [0, 1], frequencies of the
-    *uncropped* spectrum, frame times) — the same triple shape the reference
-    pipeline passes around (make_spectrogram, spectrogram.py:90-147, returns
-    the preprocessed spectrogram with the raw frequency vector).
+    Returns (padded device spectrogram (Tpad, bins), n_valid_frames,
+    frequencies, times). Rows >= n_valid_frames are padding artifacts; every
+    statistic (dB reference, percentiles) is computed over valid frames only.
+    Accepts float32 audio in [-1, 1] or raw int16 PCM (scaled on device).
     """
-    audio = np.asarray(audio, dtype=np.float32)
+    audio = np.asarray(audio)
+    if audio.dtype not in (np.float32, np.int16):
+        audio = audio.astype(np.float32)
     if audio.ndim != 1:
         raise ValueError("compute_spectrogram expects mono audio (n,)")
     n = audio.shape[0]
@@ -188,7 +206,7 @@ def compute_spectrogram(
 
     tpad = _bucket_frames(n_frames)
     total = (tpad - 1) * hop_length + n_fft
-    padded = np.zeros(total, dtype=np.float32)
+    padded = np.zeros(total, dtype=audio.dtype)
     padded[n_fft // 2 : n_fft // 2 + n] = audio  # centered, zero pad_mode
 
     fn = _build_spectrogram_fn(n_fft, hop_length, lo_idx, hi_idx, precision)
@@ -198,6 +216,28 @@ def compute_spectrogram(
         jnp.asarray(n_frames, dtype=jnp.int32),
         jnp.asarray(nearest_quantile_index(float(quantiles[0]), n_elem), jnp.int32),
         jnp.asarray(nearest_quantile_index(float(quantiles[1]), n_elem), jnp.int32),
+    )
+    return out, n_frames, frequencies, times
+
+
+def compute_spectrogram(
+    audio: np.ndarray,
+    sampling_rate: int,
+    n_fft: int,
+    hop_length: int,
+    freq_range,
+    quantiles,
+    precision: str = "highest",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full frontend for one recording, returned to host.
+
+    Returns (spectrogram (T, bins) float32 in [0, 1], frequencies of the
+    *uncropped* spectrum, frame times) — the same triple shape the reference
+    pipeline passes around (make_spectrogram, spectrogram.py:90-147, returns
+    the preprocessed spectrogram with the raw frequency vector).
+    """
+    out, n_frames, frequencies, times = compute_spectrogram_device(
+        audio, sampling_rate, n_fft, hop_length, freq_range, quantiles, precision
     )
     spec = np.asarray(out[:n_frames])
     return spec, frequencies, times
@@ -212,6 +252,21 @@ def make_spectrogram_from_params(
     (spectrogram.py:37); the schema is kept for config compatibility.
     """
     return compute_spectrogram(
+        audio,
+        sampling_rate=spectrogram_parameter["sampling_rate"],
+        n_fft=spectrogram_parameter["nfft"],
+        hop_length=spectrogram_parameter["n_overlap"],
+        freq_range=spectrogram_parameter["freq_range"],
+        quantiles=spectrogram_parameter["quantiles"],
+        precision=precision,
+    )
+
+
+def make_spectrogram_from_params_device(
+    audio: np.ndarray, spectrogram_parameter: dict, precision: str = "highest"
+):
+    """Device-resident variant of make_spectrogram_from_params."""
+    return compute_spectrogram_device(
         audio,
         sampling_rate=spectrogram_parameter["sampling_rate"],
         n_fft=spectrogram_parameter["nfft"],

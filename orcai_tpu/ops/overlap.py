@@ -3,11 +3,13 @@
 TPU-native replacement for the reference's predict hot loop
 (predict.py:235-317): there, all 736-frame windows are materialized in host
 numpy, pushed through keras model.predict, and overlap-add averaged in a
-Python loop. Here the whole chain — window extraction (strided-reshape, no
-gather), chunked batched model application (lax.map, one compiled model
-body), scatter-add overlap aggregation, averaging and thresholding — is a
-single jit'd XLA graph per frame-count bucket. Long recordings are processed
-in window mega-chunks so HBM usage stays bounded regardless of duration.
+Python loop. Here the whole chain — window extraction (strided reshape of a
+device-resident spectrogram, no host round-trip), chunked batched model
+application (lax.map, one compiled model body), scatter-add overlap
+aggregation — runs as jit'd XLA graphs; only the tiny per-output-step
+probability sums return to host. Long recordings are processed in window
+mega-chunks sliced out of the HBM-resident spectrogram, so transfer volume
+is O(outputs), not O(spectrogram), and HBM stays bounded.
 
 Window geometry matches the reference exactly: stride = snippet_len // 2,
 output grid = T // 2**n_filters rows, window i writing output rows
@@ -20,6 +22,17 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from orcai_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
+
+def _next_pow2(n: int, minimum: int = 4096) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
 
 
 class WindowPredictor:
@@ -35,7 +48,7 @@ class WindowPredictor:
         max_windows_per_chunk: int = 2048,
     ):
         self.model = model
-        self.variables = variables
+        self.variables = jax.device_put(variables)
         self.snippet_len = snippet_len
         self.shift = snippet_len // 2
         self.down = 2**n_filters
@@ -43,7 +56,8 @@ class WindowPredictor:
         self.shift_out = self.shift // self.down
         self.batch_size = batch_size
         self.max_windows_per_chunk = max_windows_per_chunk
-        self._chunk_fns: dict[tuple[int, int], object] = {}  # (wpc, bins) -> fn
+        self._chunk_fns: dict[tuple, object] = {}
+        self._pad_fns: dict[tuple, object] = {}
 
     def _plan_chunk_size(self, n_win: int) -> int:
         """Windows per compiled chunk: the batch-size multiple covering n_win,
@@ -56,39 +70,42 @@ class WindowPredictor:
             b *= 2
         return min(self.max_windows_per_chunk, b * bsz)
 
-    # -- compiled chunk body --------------------------------------------------
+    # -- compiled bodies --------------------------------------------------------
 
-    def _build_chunk_fn(self, n_bins: int, wpc: int):
-        model, variables = self.model, self.variables
+    def _build_chunk_fn(self, spec_len: int, n_bins: int, wpc: int):
+        """(variables, spec (spec_len, bins) in HBM, f0, n_win_valid) ->
+        (prob_sum, count) for the wpc windows starting at frame f0.
+
+        Model weights are an argument, not a closure constant: large embedded
+        constants stall compilation on remote-dispatch TPU backends and
+        defeat the persistent compilation cache.
+        """
+        model = self.model
         snippet_len, shift = self.snippet_len, self.shift
         out_len, shift_out = self.out_len, self.shift_out
         bsz = min(self.batch_size, wpc)
-        n_win_chunk = wpc
-        n_out_chunk = (n_win_chunk - 1) * shift_out + out_len
+        n_out_chunk = (wpc - 1) * shift_out + out_len
 
         @jax.jit
-        def chunk_fn(spec_chunk: jnp.ndarray, n_win_valid: jnp.ndarray):
-            """spec_chunk: ((n_win_chunk+1)*shift, bins) frames covering the
-            chunk's windows; returns (prob_sum, count) on the chunk's output
-            grid, with invalid (padding) windows masked out."""
-            halves = spec_chunk.reshape(n_win_chunk + 1, shift, n_bins)
-            windows = jnp.concatenate([halves[:-1], halves[1:]], axis=1)
-            windows = windows[..., None]  # (n_win_chunk, snippet, bins, 1)
-
-            batches = windows.reshape(
-                n_win_chunk // bsz, bsz, snippet_len, n_bins, 1
+        def chunk_fn(
+            variables, spec: jnp.ndarray, f0: jnp.ndarray, n_win_valid: jnp.ndarray
+        ):
+            chunk = jax.lax.dynamic_slice(
+                spec, (f0, 0), ((wpc + 1) * shift, n_bins)
             )
+            halves = chunk.reshape(wpc + 1, shift, n_bins)
+            windows = jnp.concatenate([halves[:-1], halves[1:]], axis=1)
+            windows = windows[..., None]  # (wpc, snippet, bins, 1)
+
+            batches = windows.reshape(wpc // bsz, bsz, snippet_len, n_bins, 1)
             preds = jax.lax.map(
                 lambda xb: model.apply(variables, xb, train=False), batches
             )
-            preds = preds.reshape(n_win_chunk, out_len, -1)  # (W, 46, L)
+            preds = preds.reshape(wpc, out_len, -1)
 
-            valid = jnp.arange(n_win_chunk) < n_win_valid
+            valid = jnp.arange(wpc) < n_win_valid
             n_labels = preds.shape[-1]
-
-            # scatter-add overlap aggregation on the chunk-local output grid;
-            # invalid windows are routed to a trash row
-            win_ids = jnp.arange(n_win_chunk)[:, None]
+            win_ids = jnp.arange(wpc)[:, None]
             rows = win_ids * shift_out + jnp.arange(out_len)[None, :]
             rows = jnp.where(valid[:, None], rows, n_out_chunk)  # trash row
             flat_rows = rows.reshape(-1)
@@ -102,16 +119,47 @@ class WindowPredictor:
 
         return chunk_fn
 
+    def _ensure_device(self, spectrogram, t: int, required: int, n_bins: int):
+        """Device array of shape (>= required, bins) holding the spectrogram."""
+        target = _next_pow2(required)
+        if isinstance(spectrogram, np.ndarray):
+            padded = np.zeros((target, n_bins), np.float32)
+            padded[:t] = spectrogram
+            return jnp.asarray(padded)
+        # device array: zero-pad / extend under jit (no host round-trip)
+        src_len = spectrogram.shape[0]
+        if src_len >= target:
+            return spectrogram
+        key = (src_len, target, n_bins)
+        if key not in self._pad_fns:
+
+            @jax.jit
+            def pad_fn(spec):
+                return jnp.zeros((target, n_bins), jnp.float32).at[:src_len].set(
+                    spec
+                )
+
+            self._pad_fns[key] = pad_fn
+        return self._pad_fns[key](spectrogram)
+
     # -- host driver ------------------------------------------------------------
 
-    def aggregate(self, spectrogram: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(T, bins) spectrogram -> (aggregated (T//down, L), overlap_count).
+    def aggregate(
+        self, spectrogram, n_frames: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Spectrogram -> (aggregated (T//down, L), overlap_count).
 
-        Averaged sigmoid probabilities per output step, matching the
-        reference's compute_aggregated_predictions (predict.py:235-295).
+        `spectrogram` is either a host (T, bins) array, or a device-resident
+        (possibly padded) array with `n_frames` giving the valid frame count
+        (the fused predict path — no spectrogram ever crosses the host
+        boundary). Averaged sigmoid probabilities per output step, matching
+        the reference's compute_aggregated_predictions (predict.py:235-295).
         """
-        spec = np.asarray(spectrogram, dtype=np.float32)
-        t, n_bins = spec.shape
+        if n_frames is None:
+            t = int(spectrogram.shape[0])
+        else:
+            t = int(n_frames)
+        n_bins = int(spectrogram.shape[1])
         if t < self.snippet_len:
             raise ValueError(
                 f"Recording too short for prediction: {t} spectrogram frames "
@@ -119,33 +167,34 @@ class WindowPredictor:
             )
         n_win = (t - self.snippet_len) // self.shift + 1
         n_out_total = t // self.down
-        n_labels = None
 
         wpc = self._plan_chunk_size(n_win)
-        key = (wpc, n_bins)
+        n_chunks = -(-n_win // wpc)
+        required = (n_chunks * wpc + 1) * self.shift
+        spec_dev = self._ensure_device(spectrogram, t, required, n_bins)
+
+        key = (spec_dev.shape[0], n_bins, wpc)
         if key not in self._chunk_fns:
-            self._chunk_fns[key] = self._build_chunk_fn(n_bins, wpc)
+            self._chunk_fns[key] = self._build_chunk_fn(
+                spec_dev.shape[0], n_bins, wpc
+            )
         chunk_fn = self._chunk_fns[key]
+
         agg = None
         count = np.zeros((n_out_total,), np.float32)
-
-        for w0 in range(0, n_win, wpc):
+        for c in range(n_chunks):
+            w0 = c * wpc
             n_valid = min(wpc, n_win - w0)
-            # frames covering windows w0 .. w0+wpc: (wpc+1)*shift frames
-            f0 = w0 * self.shift
-            need = (wpc + 1) * self.shift
-            chunk = np.zeros((need, n_bins), np.float32)
-            have = min(need, t - f0)
-            chunk[:have] = spec[f0 : f0 + have]
-
             prob_sum, cnt = chunk_fn(
-                jnp.asarray(chunk), jnp.asarray(n_valid, jnp.int32)
+                self.variables,
+                spec_dev,
+                jnp.asarray(w0 * self.shift, jnp.int32),
+                jnp.asarray(n_valid, jnp.int32),
             )
             prob_sum = np.asarray(prob_sum)
             cnt = np.asarray(cnt)
             if agg is None:
-                n_labels = prob_sum.shape[-1]
-                agg = np.zeros((n_out_total, n_labels), np.float32)
+                agg = np.zeros((n_out_total, prob_sum.shape[-1]), np.float32)
             o0 = w0 * self.shift_out
             o1 = min(o0 + prob_sum.shape[0], n_out_total)
             agg[o0:o1] += prob_sum[: o1 - o0]

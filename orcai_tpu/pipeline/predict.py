@@ -20,7 +20,6 @@ from tqdm import tqdm
 from orcai_tpu.io import read_json
 from orcai_tpu.io.model_store import load_orcai_model
 from orcai_tpu.ops.overlap import WindowPredictor
-from orcai_tpu.pipeline.spectrogram import make_spectrogram
 from orcai_tpu.utils import Messenger
 from orcai_tpu.utils.rle import runs_from_binary_matrix
 
@@ -170,13 +169,24 @@ def predict_wav(
     if progressbar:
         progressbar.set_description(f"{recording_path.stem}: Generating spectrogram")
         progressbar.refresh()
-    spectrogram, _, times = make_spectrogram(
-        recording_path, channel, orcai_parameter, msgr=msgr
+
+    # fused device path: audio (int16 when possible) is the only upload; the
+    # spectrogram never crosses back to host (reference recomputes it in host
+    # numpy and ships every window through model.predict, predict.py:235-268)
+    from orcai_tpu.io.wav import load_wav_for_frontend
+    from orcai_tpu.ops.frontend import make_spectrogram_from_params_device
+
+    sp = orcai_parameter["spectrogram"]
+    audio, multichannel = load_wav_for_frontend(
+        recording_path, sr=sp["sampling_rate"], channel=channel
     )
+    if multichannel:
+        msgr.warning(f"Multiple channels found, using channel {channel}")
+    spec_dev, n_frames, _, times = make_spectrogram_from_params_device(audio, sp)
     delta_t = float(times[1] - times[0])
-    if spectrogram.shape[1] != shape["input_shape"][1]:
+    if spec_dev.shape[1] != shape["input_shape"][1]:
         raise ValueError(
-            f"Spectrogram shape ({spectrogram.shape[1]}) for "
+            f"Spectrogram shape ({spec_dev.shape[1]}) for "
             f"{recording_path.stem} not equal to input shape "
             f"({shape['input_shape'][1]})"
         )
@@ -186,7 +196,7 @@ def predict_wav(
         progressbar.set_description(f"{recording_path.stem} - Predicting annotations")
         progressbar.refresh()
 
-    aggregated, overlap_count = predictor.aggregate(spectrogram)
+    aggregated, overlap_count = predictor.aggregate(spec_dev, n_frames=n_frames)
     binary = predictor.binary_predictions(aggregated, overlap_count, threshold=0.5)
 
     msgr.info("converting binary predictions into start and stop frames")

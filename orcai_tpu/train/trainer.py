@@ -99,8 +99,9 @@ class Trainer:
     # -- state -------------------------------------------------------------
 
     def init_state(self, input_shape, seed: int = 0):
-        rng = jax.random.key(seed)
-        variables = self.model.init(rng, jnp.zeros((1, *input_shape)))
+        from orcai_tpu.models import init_variables
+
+        variables = init_variables(self.model, input_shape, seed=seed)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.optimizer.init(params)
