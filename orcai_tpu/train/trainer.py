@@ -208,32 +208,45 @@ def fit(
     reduce_lr_factor: float = 0.5,
     reduce_lr_min: float = 1e-7,
     on_improve=None,
+    on_epoch_end=None,
     msgr: Messenger | None = None,
     initial_lr: float | None = None,
+    initial_epoch: int = 0,
+    initial_history: dict | None = None,
+    profile_dir: str | None = None,
 ) -> tuple[tuple, dict]:
     """Epoch loop with EarlyStopping / ReduceLROnPlateau / best-restore.
 
     train_epoch_batches / val_epoch_batches: callables epoch -> batch iter.
     on_improve: callback(state, history) fired when the monitored metric
-    improves (the ModelCheckpoint hook).
-    Returns (best state, history dict).
+    improves (the ModelCheckpoint hook). on_epoch_end: callback(state,
+    history, epoch, lr) fired after every epoch (preemption-safe
+    checkpointing hook). initial_epoch / initial_history resume a run
+    mid-schedule; early-stopping and LR-plateau counters are reconstructed
+    from the history. profile_dir enables a jax.profiler trace of the first
+    resumed epoch. Returns (best state, history dict).
     """
     if msgr is None:
         msgr = Messenger(verbosity=0)
 
-    history: dict[str, list] = {}
-    best_metric = -np.inf
+    history: dict[str, list] = dict(initial_history) if initial_history else {}
+    past = history.get(monitor, [])
+    best_metric = max(past) if past else -np.inf
     best_state_bytes = None
-    stale_early = 0
-    stale_lr = 0
+    stale_early = (len(past) - 1 - int(np.argmax(past))) if past else 0
+    stale_lr = stale_early % max(reduce_lr_patience, 1) if past else 0
     lr = initial_lr if initial_lr is not None else get_learning_rate(state[2])
 
-    for epoch in range(epochs):
+    for epoch in range(initial_epoch, epochs):
+        if profile_dir is not None and epoch == initial_epoch:
+            jax.profiler.start_trace(profile_dir)
         t0 = time.time()
         state, train_metrics = trainer.run_train_epoch(
             state, train_epoch_batches(epoch)
         )
         val_metrics = trainer.run_eval_epoch(state, val_epoch_batches(epoch))
+        if profile_dir is not None and epoch == initial_epoch:
+            jax.profiler.stop_trace()
         epoch_metrics = {**train_metrics, **val_metrics, "learning_rate": lr}
         for k, v in epoch_metrics.items():
             history.setdefault(k, []).append(v)
@@ -268,9 +281,11 @@ def fit(
                              set_learning_rate(state[2], lr), state[3])
                     msgr.info(f"ReduceLROnPlateau: learning rate -> {lr:.2e}")
                 stale_lr = 0
-            if stale_early >= early_stopping_patience:
-                msgr.info(f"EarlyStopping at epoch {epoch + 1}")
-                break
+        if on_epoch_end is not None:
+            on_epoch_end(state, history, epoch, lr)
+        if stale_early >= early_stopping_patience:
+            msgr.info(f"EarlyStopping at epoch {epoch + 1}")
+            break
 
     # restore best weights (EarlyStopping(restore_best_weights=True))
     if best_state_bytes is not None:
@@ -298,6 +313,8 @@ def train(
     msgr: Messenger | None = None,
     max_epochs: int | None = None,
     model_dtype=jnp.float32,
+    preemption_checkpointing: bool = True,
+    profile_dir: str | None = None,
 ) -> None:
     """Train an orcAI model from materialized TVT datasets.
 
@@ -305,6 +322,12 @@ def train(
     {train,val}_dataset + dataset_shapes.json (+ call_weights.json when
     configured), writes <output_dir>/<name>/ with checkpoint + history +
     parameter + shape JSONs. `load_model` resumes from the saved model.
+
+    With preemption_checkpointing (default), every epoch end writes a full
+    orbax training-state checkpoint under <model_dir>/resume and an
+    interrupted run continues from the latest epoch automatically.
+    profile_dir (or env ORCAI_TPU_PROFILE_DIR) records a jax.profiler trace
+    of the first epoch.
     """
     if msgr is None:
         msgr = Messenger(verbosity=verbosity, title="Training model")
@@ -362,9 +385,42 @@ def train(
         msgr.part("Loading model")
         _, variables, _, _ = load_orcai_model(model_dir, dtype=model_dtype)
         state = trainer.state_from_variables(variables, seed=seed_int)
+        opt_path = model_dir / f"{model_name}.opt.msgpack"
+        if opt_path.exists():
+            msgr.info("Restoring optimizer state")
+            state = (
+                state[0],
+                state[1],
+                flax.serialization.from_bytes(
+                    jax.device_get(state[2]), opt_path.read_bytes()
+                ),
+                state[3],
+            )
     else:
         msgr.part("Building model")
         state = trainer.init_state(tuple(dataset_shape["spectrogram"]), seed=seed_int)
+
+    # preemption-safe resume
+    initial_epoch = 0
+    initial_history: dict | None = None
+    initial_lr = mp["learning_rate"]
+    ckpt = None
+    if preemption_checkpointing:
+        from orcai_tpu.train.checkpoint import TrainCheckpointer
+
+        ckpt = TrainCheckpointer(model_dir / "resume")
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state, initial_history, initial_lr, last_epoch = restored
+            initial_epoch = last_epoch + 1
+            msgr.info(
+                f"Resuming interrupted training from epoch {initial_epoch + 1}"
+            )
+
+    import os
+
+    if profile_dir is None:
+        profile_dir = os.environ.get("ORCAI_TPU_PROFILE_DIR")
 
     total_params = _count_params(state[0])
     msgr.info("Model size:", indent=1)
@@ -400,9 +456,17 @@ def train(
         reduce_lr_factor=mp["ReduceLROnPlateau_factor"],
         reduce_lr_min=mp["ReduceLROnPlateau_min_learning_rate"],
         on_improve=save_checkpoint,
+        on_epoch_end=(
+            (lambda s, h, e, lr: ckpt.save(e, s, h, lr)) if ckpt else None
+        ),
         msgr=msgr,
-        initial_lr=mp["learning_rate"],
+        initial_lr=initial_lr,
+        initial_epoch=initial_epoch,
+        initial_history=initial_history,
+        profile_dir=profile_dir,
     )
+    if ckpt is not None:
+        ckpt.cleanup()
 
     msgr.part("Saving Model")
     opt_bytes = flax.serialization.to_bytes(jax.device_get(state[2]))
