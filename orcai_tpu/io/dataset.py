@@ -203,23 +203,46 @@ class ArrayDataset:
         epoch: int = 0,
     ):
         """Yield (x, y) numpy batches with a per-epoch seeded permutation."""
-        n = len(self)
-        if shuffle:
-            rng = np.random.default_rng(
-                shuffle_seed_from(seed) + epoch if seed is not None else None
-            )
-            order = rng.permutation(n)
-        else:
-            order = np.arange(n)
-        n_batches = n // batch_size if drop_remainder else math.ceil(n / batch_size)
-        for b in range(n_batches):
-            idx = order[b * batch_size : (b + 1) * batch_size]
-            idx = np.sort(idx)  # monotone reads are faster on memmaps
+        for idx in epoch_permutation(
+            len(self), batch_size, seed, epoch, shuffle, drop_remainder
+        ):
             yield self.x[idx], self.y[idx]
 
     def n_batches(self, batch_size: int, drop_remainder: bool = True) -> int:
         n = len(self)
         return n // batch_size if drop_remainder else math.ceil(n / batch_size)
+
+
+def epoch_permutation(
+    n: int,
+    batch_size: int,
+    seed: int | list[int] | None,
+    epoch: int,
+    shuffle: bool = True,
+    drop_remainder: bool = True,
+) -> np.ndarray:
+    """(n_batches, batch_size) index rows for one epoch.
+
+    Seeded per-epoch full permutation; indices sorted within each batch
+    (monotone reads on memmaps; batch membership unchanged). Shared between
+    the streaming and device-resident training paths so both are
+    batch-for-batch identical.
+    """
+    if shuffle:
+        rng = np.random.default_rng(
+            shuffle_seed_from(seed) + epoch if seed is not None else None
+        )
+        order = rng.permutation(n)
+    else:
+        order = np.arange(n)
+    n_batches = n // batch_size if drop_remainder else math.ceil(n / batch_size)
+    rows = [
+        np.sort(order[b * batch_size : (b + 1) * batch_size])
+        for b in range(n_batches)
+    ]
+    return np.stack(rows).astype(np.int32) if rows else np.zeros(
+        (0, batch_size), np.int32
+    )
 
 
 def _write_npy(path: Path, arr: np.ndarray, compression: str | None) -> None:

@@ -29,7 +29,7 @@ from orcai_tpu.resources import (
     DEFAULT_HPS_PARAMETER,
     DEFAULT_ORCAI_PARAMETER as DEFAULT_PARAMETER,
 )
-from orcai_tpu.train.trainer import Trainer, fit, make_optimizer
+from orcai_tpu.train.trainer import Trainer, fit, make_optimizer, streaming_runners
 from orcai_tpu.utils import (
     Messenger,
     SEED_ID_LOAD_TEST_DATA,
@@ -164,11 +164,16 @@ def hyperparameter_search(
             else 0
         )
         state = trainer.init_state(tuple(dataset_shape["spectrogram"]), seed=seed_int)
+        run_train, run_val = streaming_runners(
+            trainer,
+            lambda e: train_ds.batches(mp["batch_size"], seed=train_seed, epoch=e),
+            lambda e: val_ds.batches(mp["batch_size"], seed=val_seed, epoch=e),
+        )
         state, history = fit(
             trainer,
             state,
-            lambda e: train_ds.batches(mp["batch_size"], seed=train_seed, epoch=e),
-            lambda e: val_ds.batches(mp["batch_size"], seed=val_seed, epoch=e),
+            run_train,
+            run_val,
             epochs=epochs,
             monitor=monitor,
             early_stopping_patience=5,

@@ -14,6 +14,7 @@ from orcai_tpu.parallel.mesh import make_mesh, mesh_for_batch
 from orcai_tpu.train.trainer import (
     Trainer,
     fit,
+    streaming_runners,
     get_learning_rate,
     make_optimizer,
     set_learning_rate,
@@ -109,12 +110,13 @@ def test_fit_early_stopping_and_reduce_lr():
     def train_batches(epoch):
         yield x, y
 
+    run_train, run_val = streaming_runners(trainer, train_batches, train_batches)
     # constant val metric -> no improvement after epoch 1 -> early stop
     state, history = fit(
         trainer,
         state,
-        train_batches,
-        train_batches,
+        run_train,
+        run_val,
         epochs=20,
         early_stopping_patience=4,
         reduce_lr_patience=2,
