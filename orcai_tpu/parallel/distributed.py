@@ -1,0 +1,56 @@
+"""Multi-host / multi-slice initialization.
+
+The reference is single-process (its only multi-device path is a
+MirroredStrategy in hpsearch, hpsearch.py:186-205). Here multi-host runs use
+the standard JAX idiom: `jax.distributed.initialize` on every host, then a
+global mesh whose "data" axis spans all chips — XLA routes the gradient
+all-reduce over ICI within a slice and DCN across slices. On a single host
+this is a no-op, so the same entry points work everywhere.
+
+For multi-slice topologies, `make_hybrid_mesh` builds a (dcn, data) mesh via
+jax.experimental.mesh_utils so batch sharding stays ICI-local and only the
+cross-slice reduction rides DCN.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize multi-host JAX when running under a pod launcher.
+
+    With no arguments, relies on the TPU environment auto-detection; a
+    no-op when only one process is present (e.g. single-host dev).
+    """
+    if num_processes is None:
+        num_processes = int(os.environ.get("ORCAI_TPU_NUM_PROCESSES", "1"))
+    if num_processes <= 1 and coordinator_address is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_hybrid_mesh(ici_data: int | None = None, dcn_data: int | None = None):
+    """Mesh with a DCN (cross-slice) axis and an ICI (in-slice) data axis."""
+    from jax.experimental import mesh_utils
+    from jax.sharding import Mesh
+
+    if dcn_data is None:
+        dcn_data = max(1, jax.process_count())
+    if ici_data is None:
+        ici_data = jax.device_count() // dcn_data
+    devices = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(ici_data,),
+        dcn_mesh_shape=(dcn_data,),
+    )
+    return Mesh(devices.reshape(dcn_data * ici_data, 1), ("data", "model"))

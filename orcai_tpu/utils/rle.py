@@ -39,6 +39,18 @@ def runs_from_binary_matrix(
     return row_starts, row_stops, label_names
 
 
+def filter_filepaths(filepaths, exclude_patterns, msgr=None):
+    """Drop paths containing any exclude pattern (reference auxiliary.py:368)."""
+    for pattern in exclude_patterns:
+        filepaths = [f for f in filepaths if pattern not in str(f)]
+        if msgr is not None:
+            msgr.info(
+                f"Remaining files after filtering files that contain "
+                f"{pattern}: {len(filepaths)}"
+            )
+    return filepaths
+
+
 def seconds_to_hms(seconds: float) -> str:
     """Format a duration in seconds as hh:mm:ss."""
     hours, rem = divmod(seconds, 3600)

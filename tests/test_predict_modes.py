@@ -1,0 +1,167 @@
+"""Predict entry-point modes: recording-table batch, probabilities output,
+duration filtering, multichannel wavs, keras-format model dirs."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+from orcai_tpu.io.model_store import load_orcai_model, save_orcai_model
+from orcai_tpu.io.wav import load_wav, write_wav
+from orcai_tpu.models import build_model, init_variables
+from orcai_tpu.pipeline.predict import predict
+from orcai_tpu.utils import Messenger
+
+SR = 48000
+PARAM = {
+    "name": "pm-test",
+    "architecture": "ResNetLSTM",
+    "model": {
+        "filters": [4, 6, 8, 10],
+        "kernel_size": 3,
+        "dropout_rate": 0.2,
+        "lstm_units": 8,
+        "learning_rate": 1e-4,
+    },
+    "spectrogram": {
+        "sampling_rate": SR,
+        "nfft": 512,
+        "n_overlap": 256,
+        "freq_range": [0, 16000],
+        "quantiles": [0.01, 0.999],
+        "duration": 4,
+    },
+    "calls": ["A", "B"],
+    "snippets": {"segment_duration": 60, "snippets_per_sec": 1,
+                 "snippet_duration": 4, "fraction_removal": 0.2,
+                 "train": 0.8, "val": 0.1, "test": 0.1},
+    "seed": 7,
+}
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("model") / "pm-test"
+    model = build_model(PARAM)
+    variables = init_variables(model, (736, 171, 1), seed=3)
+    save_orcai_model(d, PARAM, variables)
+    return d
+
+
+def _write_recording(path, seconds=8.0, channels=1, seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(seconds * SR)
+    x = 0.01 * rng.standard_normal((channels, n)).astype(np.float32)
+    x[0, n // 4 : n // 2] += 0.3 * np.sin(
+        2 * np.pi * 2000 * np.arange(n // 4) / SR
+    ).astype(np.float32)
+    write_wav(path, SR, x if channels > 1 else x[0])
+
+
+def test_predict_recording_table_batch(model_dir, tmp_path):
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    for i in range(2):
+        _write_recording(wav_dir / f"r{i}.wav", seed=i)
+    # one broken row: missing wav -> must not abort the batch
+    table = pd.DataFrame(
+        {
+            "recording": ["r0", "r1", "missing"],
+            "channel": [1, 1, 1],
+            "base_dir_recording": str(wav_dir),
+            "rel_recording_path": ["r0.wav", "r1.wav", "missing.wav"],
+        }
+    )
+    table_path = tmp_path / "table.csv"
+    table.to_csv(table_path, index=False)
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+
+    predict(
+        table_path,
+        model_dir=model_dir,
+        output_path=out_dir,
+        msgr=Messenger(verbosity=0),
+        verbosity=0,
+        predict_batch_size=8,
+    )
+    assert (out_dir / "r0_pm-test_predicted.txt").exists()
+    assert (out_dir / "r1_pm-test_predicted.txt").exists()
+    assert not (out_dir / "missing_pm-test_predicted.txt").exists()
+
+
+def test_predict_save_probabilities_and_filtering(model_dir, tmp_path):
+    wav = tmp_path / "x.wav"
+    _write_recording(wav, seed=5)
+    limits = tmp_path / "limits.json"
+    limits.write_text(json.dumps({"default": [0.05, 10.0]}))
+    predict(
+        wav,
+        model_dir=model_dir,
+        output_path=tmp_path / "x_pred.txt",
+        save_probabilities=True,
+        call_duration_limits=limits,
+        msgr=Messenger(verbosity=0),
+        verbosity=0,
+        predict_batch_size=8,
+    )
+    assert (tmp_path / "x_pred.txt").exists()
+    probs = pd.read_csv(tmp_path / "x_pred_probabilities.csv.gz")
+    assert list(probs.columns) == ["time", "A", "B"]
+    # probabilities on the output grid: T//16 rows
+    n_frames = 1 + int(8.0 * SR) // 256
+    assert len(probs) == n_frames // 16
+
+
+def test_predict_multichannel(model_dir, tmp_path):
+    wav = tmp_path / "stereo.wav"
+    _write_recording(wav, channels=2, seed=9)
+    predict(
+        wav,
+        channel=2,
+        model_dir=model_dir,
+        output_path=tmp_path / "stereo_pred.txt",
+        msgr=Messenger(verbosity=0),
+        verbosity=0,
+        predict_batch_size=8,
+    )
+    assert (tmp_path / "stereo_pred.txt").exists()
+
+
+def test_load_keras_format_model_dir(tmp_path):
+    """A reference-style model dir with only a .keras archive loads."""
+    keras = pytest.importorskip("keras")
+
+    from orcai_tpu.io.jsonio import write_json
+    from orcai_tpu.io.keras_convert import build_keras_model
+
+    d = tmp_path / "keras-model"
+    d.mkdir()
+    small = dict(PARAM, name="keras-model")
+    small["model"] = dict(PARAM["model"])
+    kmodel = build_keras_model(small, input_shape=(64, 21, 1))
+    kmodel.save(d / "keras-model.keras")
+    write_json(small, d / "orcai_parameter.json")
+    write_json({"input_shape": [64, 21, 1], "num_labels": 2},
+               d / "model_shape.json")
+
+    model, variables, param, shape = load_orcai_model(d)
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(0).normal(size=(1, 64, 21, 1)).astype(np.float32)
+    y_flax = model.apply(variables, jnp.asarray(x), train=False)
+    y_keras = kmodel.predict(x, verbose=0)
+    np.testing.assert_allclose(np.asarray(y_flax), y_keras, atol=2e-5)
+
+
+def test_wav_resample_path(tmp_path):
+    """Non-48k wavs decode + resample through the general path."""
+    rng = np.random.default_rng(0)
+    x = 0.1 * rng.standard_normal(44100 * 2).astype(np.float32)
+    write_wav(tmp_path / "cd.wav", 44100, x)
+    audio, sr = load_wav(tmp_path / "cd.wav", sr=48000)
+    assert sr == 48000
+    assert abs(len(audio) - 96000) <= 2
