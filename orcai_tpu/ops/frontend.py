@@ -101,6 +101,7 @@ def _build_spectrogram_fn(
     lo_idx: int,
     hi_idx: int,
     precision: str,
+    use_pallas: bool = False,
 ):
     """jit'd (padded_frames_audio, n_valid_frames) -> normalized (Tpad, bins).
 
@@ -125,19 +126,28 @@ def _build_spectrogram_fn(
         C: jnp.ndarray,
         S: jnp.ndarray,
     ) -> jnp.ndarray:
-        # int16 PCM is scaled to [-1, 1] on device (halves upload volume)
-        if padded.dtype == jnp.int16:
-            padded = padded.astype(jnp.float32) * (1.0 / 32768.0)
-        # frame extraction via the strided-reshape trick: padded length is
-        # (Tpad - 1) * hop + n_fft; rows of x2 are hop-sized blocks and frame
-        # t is the concatenation of blocks t .. t + k - 1.
         tpad = (padded.shape[0] - n_fft) // hop + 1
-        x2 = padded.reshape(-1, hop)
-        frames = jnp.concatenate([x2[i : i + tpad] for i in range(k)], axis=1)
+        if use_pallas:
+            # fused Pallas kernel: framing + GEMMs + |.| without HBM
+            # round-trips for the frames matrix (ops/pallas_dft.py)
+            from orcai_tpu.ops.pallas_dft import DEFAULT_TILE, dft_magnitude
 
-        re = jnp.dot(frames, C, precision=prec)
-        im = jnp.dot(frames, S, precision=prec)
-        mag = jnp.sqrt(re * re + im * im)  # (Tpad, n_bins)
+            mag = dft_magnitude(padded, C, S, n_fft=n_fft, hop=hop,
+                                tile_frames=DEFAULT_TILE)
+        else:
+            # int16 PCM is scaled to [-1, 1] on device (halves upload volume)
+            if padded.dtype == jnp.int16:
+                padded = padded.astype(jnp.float32) * (1.0 / 32768.0)
+            # frame extraction via the strided-reshape trick: padded length
+            # is (Tpad - 1) * hop + n_fft; rows of x2 are hop-sized blocks
+            # and frame t is the concatenation of blocks t .. t + k - 1.
+            x2 = padded.reshape(-1, hop)
+            frames = jnp.concatenate(
+                [x2[i : i + tpad] for i in range(k)], axis=1
+            )
+            re = jnp.dot(frames, C, precision=prec)
+            im = jnp.dot(frames, S, precision=prec)
+            mag = jnp.sqrt(re * re + im * im)  # (Tpad, n_bins)
 
         valid = (jnp.arange(tpad) < n_valid)[:, None]  # (Tpad, 1)
 
@@ -209,7 +219,15 @@ def compute_spectrogram_device(
     padded = np.zeros(total, dtype=audio.dtype)
     padded[n_fft // 2 : n_fft // 2 + n] = audio  # centered, zero pad_mode
 
-    fn = _build_spectrogram_fn(n_fft, hop_length, lo_idx, hi_idx, precision)
+    import os
+
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("ORCAI_TPU_DISABLE_PALLAS") != "1"
+    )
+    fn = _build_spectrogram_fn(
+        n_fft, hop_length, lo_idx, hi_idx, precision, use_pallas
+    )
     n_elem = n_frames * (hi_idx - lo_idx)
     out = fn(
         jnp.asarray(padded),

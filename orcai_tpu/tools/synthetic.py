@@ -81,10 +81,15 @@ def synth_call(kind: str, rng: np.random.Generator) -> tuple[np.ndarray, float]:
         x = np.sin(phase) * _env(n)
         return 0.5 * x, dur
 
-    if kind == "TAILSLAP":  # broadband impulse
-        dur = rng.uniform(0.08, 0.2)
+    if kind == "TAILSLAP":  # broadband slap + splash decay
+        dur = rng.uniform(0.25, 0.6)
         n = int(dur * SR)
-        x = rng.standard_normal(n) * np.exp(-np.linspace(0, 8, n))
+        x = rng.standard_normal(n) * np.exp(-np.linspace(0, 5, n))
+        # secondary splash
+        i1 = int(n * rng.uniform(0.2, 0.4))
+        x[i1:] += 0.5 * rng.standard_normal(n - i1) * np.exp(
+            -np.linspace(0, 6, n - i1)
+        )
         return 0.9 * x / (np.abs(x).max() + 1e-9), dur
 
     if kind == "WHISTLE":  # FM contour
