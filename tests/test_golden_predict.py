@@ -1,0 +1,63 @@
+"""Golden end-to-end prediction parity.
+
+Runs the full flagship path (wav -> spectrogram -> windowed CRNN ->
+overlap-add -> run-length -> Audacity TSV) with the bundled trained orcai-v1
+on a committed synthetic recording and asserts the output matches the
+committed golden TSV (generated on the same CPU backend). Guards the whole
+numeric chain against regressions; also checks detection quality against
+the known ground-truth annotations.
+"""
+
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+from orcai_tpu.pipeline.predict import predict
+from orcai_tpu.resources import MODELS_DATA_DIR
+from orcai_tpu.utils import Messenger
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture(scope="module")
+def predictions(tmp_path_factory):
+    out = tmp_path_factory.mktemp("golden") / "pred.txt"
+    predict(
+        FIXTURES / "golden.wav",
+        model_dir=MODELS_DATA_DIR / "orcai-v1",
+        output_path=out,
+        overwrite=True,
+        msgr=Messenger(verbosity=0),
+        verbosity=0,
+        predict_batch_size=16,
+    )
+    return pd.read_csv(out, sep="\t")
+
+
+def test_matches_golden_tsv(predictions):
+    expected = pd.read_csv(FIXTURES / "golden_expected.txt", sep="\t")
+    pd.testing.assert_frame_equal(predictions, expected)
+
+
+def test_detection_quality_vs_truth(predictions):
+    truth = pd.read_csv(
+        FIXTURES / "golden_truth.txt", sep="\t", header=None,
+        names=["start", "stop", "label"],
+    )
+    pred = predictions.copy()
+    pred["label"] = pred["label"].str.rstrip("*")
+    # drop degenerate zero-length detections for the quality check
+    pred = pred[pred["stop"] > pred["start"]]
+
+    def overlaps(row, df):
+        same = df[df["label"] == row["label"]]
+        return (
+            (same["start"] < row["stop"]) & (same["stop"] > row["start"])
+        ).any()
+
+    recalled = sum(overlaps(t, pred) for _, t in truth.iterrows())
+    assert recalled / len(truth) >= 0.8, f"recall {recalled}/{len(truth)}"
+
+    precise = sum(overlaps(p, truth) for _, p in pred.iterrows())
+    assert precise / len(pred) >= 0.7, f"precision {precise}/{len(pred)}"
