@@ -1,15 +1,18 @@
 """Pallas TPU kernel: fused framing + windowed DFT magnitude.
 
-The XLA frontend path materializes the (T, n_fft) frames matrix and the
-complex parts in HBM (orcai_tpu.ops.frontend). This kernel streams the raw
-audio tile-by-tile from HBM into VMEM, builds the overlapped frames
-in-register, runs the two windowed-DFT GEMMs on the MXU and writes only the
-(T, n_bins) magnitudes back — cutting HBM traffic roughly 3x and keeping
-int16 PCM packed until it reaches VMEM.
+The XLA frontend path materializes the (T, n_fft) float32 frames matrix in
+HBM (orcai_tpu.ops.frontend). This kernel computes the windowed DFT as a sum
+of k = n_fft/hop partial GEMMs over hop-blocked views of the audio — the
+frames matrix never exists. The k shifted views stay in the PCM dtype
+(int16 when the wav is 16-bit), so HBM traffic is roughly a quarter of the
+XLA path's, and Pallas' block pipeline double-buffers the audio tiles into
+VMEM while the MXU runs the previous tile's GEMMs.
 
-Grid: one program per tile of `tile_frames` frames. Each program DMAs its
-(tile_frames + 1) * hop audio samples (windows overlap by hop when
-n_fft == 2 * hop), so audio is read ~once overall.
+Mosaic constraints shaped the design: vectors with mismatched sublane
+offsets cannot be concatenated and DMA slices must be tile-aligned, so
+instead of building frames = concat(x[j], x[j+1]) in-register, each shift j
+becomes its own aligned input stream and its own (tile, hop) @ (hop, n_bins)
+partial product against the j-th row block of the DFT matrices.
 """
 
 from __future__ import annotations
@@ -18,34 +21,35 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE = 256
 
 
-def _kernel(audio_hbm, c_ref, s_ref, out_ref, a_scratch, sem, *, hop, n_fft, tile):
-    i = pl.program_id(0)
-    slice_len = tile * hop + (n_fft - hop)
-    dma = pltpu.make_async_copy(
-        audio_hbm.at[pl.ds(i * tile * hop, slice_len)], a_scratch, sem
-    )
-    dma.start()
-    dma.wait()
-
-    x = a_scratch[:]
-    if x.dtype == jnp.int16:
-        x = x.astype(jnp.float32) * (1.0 / 32768.0)
-    else:
-        x = x.astype(jnp.float32)
-
+def _kernel(*refs, hop, n_fft, tile):
     k = n_fft // hop
-    x2 = x.reshape(tile + k - 1, hop)
-    frames = jnp.concatenate([x2[j : j + tile] for j in range(k)], axis=1)
+    audio_refs = refs[:k]
+    c_ref, s_ref, out_ref = refs[k], refs[k + 1], refs[k + 2]
 
-    re = jnp.dot(frames, c_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, s_ref[:], preferred_element_type=jnp.float32)
+    re = jnp.zeros(out_ref.shape, jnp.float32)
+    im = jnp.zeros(out_ref.shape, jnp.float32)
+    for j in range(k):
+        x = audio_refs[j][:]
+        if x.dtype == jnp.int16:
+            x = x.astype(jnp.float32) * (1.0 / 32768.0)
+        else:
+            x = x.astype(jnp.float32)
+        re = re + jnp.dot(
+            x, c_ref[pl.ds(j * hop, hop)],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        im = im + jnp.dot(
+            x, s_ref[pl.ds(j * hop, hop)],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     out_ref[:] = jnp.sqrt(re * re + im * im)
 
 
@@ -74,14 +78,25 @@ def dft_magnitude(
     tpad = (padded.shape[0] - n_fft) // hop + 1
     assert tpad % tile_frames == 0, (tpad, tile_frames)
     n_bins = C.shape[1]
-    slice_len = tile_frames * hop + (n_fft - hop)
+
+    # k frame-aligned shifted views: shift_j[t] = padded[(t + j) * hop : +hop]
+    shifted = [
+        jax.lax.dynamic_slice_in_dim(padded, j * hop, tpad * hop).reshape(
+            tpad, hop
+        )
+        for j in range(k)
+    ]
 
     grid = (tpad // tile_frames,)
+    audio_specs = [
+        pl.BlockSpec((tile_frames, hop), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        for _ in range(k)
+    ]
     return pl.pallas_call(
         partial(_kernel, hop=hop, n_fft=n_fft, tile=tile_frames),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # audio stays in HBM
+        in_specs=audio_specs
+        + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -89,9 +104,5 @@ def dft_magnitude(
             (tile_frames, n_bins), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((tpad, n_bins), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((slice_len,), padded.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
-    )(padded, C, S)
+    )(*shifted, C, S)
