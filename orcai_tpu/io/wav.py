@@ -76,11 +76,13 @@ def load_wav_for_frontend(
     """Mono audio for the device frontend, minimizing host work and upload.
 
     Returns (audio, multichannel_flag). When the file is 16-bit PCM at the
-    target rate, the raw int16 samples are returned untouched — the frontend
-    scales them to [-1, 1] on device, halving host->device transfer volume.
-    Otherwise falls back to float32 decode + resample.
+    target rate, the raw int16 samples are returned untouched — memory-mapped
+    for mono files, so the device upload streams straight from the page
+    cache with no separate host read pass — and the frontend scales them to
+    [-1, 1] on device, halving host->device transfer volume. Otherwise falls
+    back to float32 decode + resample.
     """
-    native_sr, data = wavfile.read(str(path))
+    native_sr, data = wavfile.read(str(path), mmap=True)
     multichannel = data.ndim == 2
     if multichannel:
         data = np.ascontiguousarray(data.T)[channel - 1]
