@@ -82,20 +82,28 @@ class Trainer:
             else None
         )
 
-        repl = replicated_sharding(self.mesh)
-        batch = batch_sharding(self.mesh)
+        # sharding annotations only on real multi-device meshes: trivial-mesh
+        # SPMD programs take a much slower executable path on some TPU
+        # runtimes (see build_device_epoch_fns)
+        if self.mesh.shape["data"] > 1:
+            repl = replicated_sharding(self.mesh)
+            batch = batch_sharding(self.mesh)
+            sharding_kwargs = dict(
+                in_shardings=((repl, repl, repl, repl), batch, batch),
+                out_shardings=((repl, repl, repl, repl), repl),
+            )
+            eval_sharding_kwargs = dict(
+                in_shardings=(repl, repl, batch, batch),
+                out_shardings=repl,
+            )
+        else:
+            sharding_kwargs = {}
+            eval_sharding_kwargs = {}
 
         self.train_step = jax.jit(
-            self._train_step,
-            donate_argnums=(0,),
-            in_shardings=((repl, repl, repl, repl), batch, batch),
-            out_shardings=((repl, repl, repl, repl), repl),
+            self._train_step, donate_argnums=(0,), **sharding_kwargs
         )
-        self.eval_step = jax.jit(
-            self._eval_step,
-            in_shardings=(repl, repl, batch, batch),
-            out_shardings=repl,
-        )
+        self.eval_step = jax.jit(self._eval_step, **eval_sharding_kwargs)
 
     # -- state -------------------------------------------------------------
 
@@ -176,36 +184,56 @@ class Trainer:
         per-batch index rows: no per-step dispatch, no per-step transfers.
         uint8-quantized datasets are dequantized to [0, 1] on device.
         """
-        batch_sh = batch_sharding(self.mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        def gather(X, Y, idx):
-            x = jnp.take(X, idx, axis=0)
+        # one epoch-wide gather, constrained ONCE outside the scan (a
+        # per-step with_sharding_constraint inside a scan body costs >10x).
+        # On a single-device mesh every sharding annotation is skipped
+        # entirely: some TPU runtimes execute SPMD-annotated programs through
+        # a dramatically slower path even when the mesh is trivial.
+        multi_device = self.mesh.shape["data"] > 1
+        epoch_sh = NamedSharding(self.mesh, P(None, "data"))
+
+        def gather_epoch(X, Y, perm):
+            xe = jnp.take(X, perm.reshape(-1), axis=0).reshape(
+                (*perm.shape, *X.shape[1:])
+            )
+            ye = jnp.take(Y, perm.reshape(-1), axis=0).reshape(
+                (*perm.shape, *Y.shape[1:])
+            )
+            if multi_device:
+                xe = jax.lax.with_sharding_constraint(xe, epoch_sh)
+                ye = jax.lax.with_sharding_constraint(ye, epoch_sh)
+            return xe, ye
+
+        def dequant(x):
             if x.dtype == jnp.uint8:
-                x = x.astype(jnp.float32) * (1.0 / 255.0)
-            y = jnp.take(Y, idx, axis=0)
-            x = jax.lax.with_sharding_constraint(x, batch_sh)
-            y = jax.lax.with_sharding_constraint(y, batch_sh)
-            return x, y
+                return x.astype(jnp.float32) * (1.0 / 255.0)
+            return x
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_epoch_fn(state, X, Y, perm):
-            def step(carry, idx):
-                x, y = gather(X, Y, idx)
-                carry, metrics = self._train_step(carry, x, y)
+            xe, ye = gather_epoch(X, Y, perm)
+
+            def step(carry, xy):
+                x, y = xy
+                carry, metrics = self._train_step(carry, dequant(x), y)
                 return carry, metrics
 
-            state, ms = jax.lax.scan(step, state, perm)
+            state, ms = jax.lax.scan(step, state, (xe, ye))
             loss = ms[:, 0].mean()
             mba = ms[:, 1].sum() / jnp.maximum(ms[:, 2].sum(), 1.0)
             return state, jnp.stack([loss, mba])
 
         @jax.jit
         def eval_epoch_fn(params, batch_stats, X, Y, perm):
-            def step(_, idx):
-                x, y = gather(X, Y, idx)
-                return None, self._eval_step(params, batch_stats, x, y)
+            xe, ye = gather_epoch(X, Y, perm)
 
-            _, ms = jax.lax.scan(step, None, perm)
+            def step(_, xy):
+                x, y = xy
+                return None, self._eval_step(params, batch_stats, dequant(x), y)
+
+            _, ms = jax.lax.scan(step, None, (xe, ye))
             loss = ms[:, 0].mean()
             mba = ms[:, 1].sum() / jnp.maximum(ms[:, 2].sum(), 1.0)
             return jnp.stack([loss, mba])
