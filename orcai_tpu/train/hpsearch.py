@@ -29,7 +29,14 @@ from orcai_tpu.resources import (
     DEFAULT_HPS_PARAMETER,
     DEFAULT_ORCAI_PARAMETER as DEFAULT_PARAMETER,
 )
-from orcai_tpu.train.trainer import Trainer, fit, make_optimizer, streaming_runners
+from orcai_tpu.train.trainer import (
+    DeviceData,
+    Trainer,
+    device_runners,
+    fit,
+    make_optimizer,
+    streaming_runners,
+)
 from orcai_tpu.utils import (
     Messenger,
     SEED_ID_LOAD_TEST_DATA,
@@ -140,6 +147,14 @@ def hyperparameter_search(
     hps_logs_dir.mkdir(parents=True, exist_ok=True)
 
     import jax
+    import os
+
+    # one HBM-resident copy of the datasets shared by every trial
+    limit = int(os.environ.get("ORCAI_TPU_DEVICE_DATASET_BYTES", 6_000_000_000))
+    device_data = None
+    if train_ds.x.nbytes + val_ds.x.nbytes <= limit:
+        msgr.info("Datasets HBM-resident: shared across trials")
+        device_data = (DeviceData(train_ds), DeviceData(val_ds))
 
     if parallel:
         msgr.info(
@@ -164,11 +179,17 @@ def hyperparameter_search(
             else 0
         )
         state = trainer.init_state(tuple(dataset_shape["spectrogram"]), seed=seed_int)
-        run_train, run_val = streaming_runners(
-            trainer,
-            lambda e: train_ds.batches(mp["batch_size"], seed=train_seed, epoch=e),
-            lambda e: val_ds.batches(mp["batch_size"], seed=val_seed, epoch=e),
-        )
+        if device_data is not None:
+            run_train, run_val = device_runners(
+                trainer, device_data[0], device_data[1],
+                mp["batch_size"], train_seed, val_seed,
+            )
+        else:
+            run_train, run_val = streaming_runners(
+                trainer,
+                lambda e: train_ds.batches(mp["batch_size"], seed=train_seed, epoch=e),
+                lambda e: val_ds.batches(mp["batch_size"], seed=val_seed, epoch=e),
+            )
         state, history = fit(
             trainer,
             state,

@@ -281,10 +281,25 @@ def streaming_runners(trainer: Trainer, train_batches, val_batches):
     )
 
 
+class DeviceData:
+    """An (X, Y) dataset resident in device HBM, shareable across trainers."""
+
+    def __init__(self, ds: ArrayDataset, quantize: bool = False):
+        x = np.asarray(ds.x)
+        if quantize:
+            x = np.round(x * 255.0).astype(np.uint8)
+        self.x = jnp.asarray(x)
+        self.y = jnp.asarray(np.asarray(ds.y, np.float32))
+        self.n = len(ds)
+
+    def n_batches(self, batch_size: int) -> int:
+        return self.n // batch_size
+
+
 def device_runners(
     trainer: Trainer,
-    train_ds: ArrayDataset,
-    val_ds: ArrayDataset,
+    train_ds,
+    val_ds,
     batch_size: int,
     train_seed,
     val_seed,
@@ -294,30 +309,30 @@ def device_runners(
 
     Batch-for-batch identical to the streaming path (same seeded epoch
     permutations); optional uint8 quantization of the [0, 1] spectrograms
-    quarters upload volume and HBM footprint.
+    quarters upload volume and HBM footprint. Accepts ArrayDataset (uploads
+    now) or pre-uploaded DeviceData (shareable across trainers, e.g. between
+    hpsearch trials).
     """
     from orcai_tpu.io.dataset import epoch_permutation
 
-    def upload(ds):
-        x = np.asarray(ds.x)
-        if quantize:
-            x = np.round(x * 255.0).astype(np.uint8)
-        return jnp.asarray(x), jnp.asarray(np.asarray(ds.y, np.float32))
-
-    xt, yt = upload(train_ds)
-    xv, yv = upload(val_ds)
+    if not isinstance(train_ds, DeviceData):
+        train_ds = DeviceData(train_ds, quantize)
+    if not isinstance(val_ds, DeviceData):
+        val_ds = DeviceData(val_ds, quantize)
+    xt, yt = train_ds.x, train_ds.y
+    xv, yv = val_ds.x, val_ds.y
     n_train_batches = train_ds.n_batches(batch_size)
     n_val_batches = val_ds.n_batches(batch_size)
     train_fn, eval_fn = trainer.build_device_epoch_fns(n_train_batches, batch_size)
 
     def run_train(state, epoch):
-        perm = epoch_permutation(len(train_ds), batch_size, train_seed, epoch)
+        perm = epoch_permutation(train_ds.n, batch_size, train_seed, epoch)
         state, m = train_fn(state, xt, yt, jnp.asarray(perm))
         m = np.asarray(m)
         return state, {"loss": float(m[0]), "MBA": float(m[1])}
 
     def run_val(state, epoch):
-        perm = epoch_permutation(len(val_ds), batch_size, val_seed, epoch)
+        perm = epoch_permutation(val_ds.n, batch_size, val_seed, epoch)
         m = np.asarray(eval_fn(state[0], state[1], xv, yv, jnp.asarray(perm)))
         return {"val_loss": float(m[0]), "val_MBA": float(m[1])}
 
