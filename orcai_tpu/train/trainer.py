@@ -601,7 +601,8 @@ def train(
             "one-dispatch epochs"
         )
         run_train, run_val = device_runners(
-            trainer, train_ds, val_ds, mp["batch_size"], train_seed, val_seed
+            trainer, train_ds, val_ds, mp["batch_size"], train_seed, val_seed,
+            quantize=os.environ.get("ORCAI_TPU_QUANTIZE_DATASET") == "1",
         )
     else:
         msgr.info("Datasets exceed HBM budget: streaming batches")
