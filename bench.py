@@ -50,8 +50,6 @@ def ensure_model() -> Path:
 
     model_dir = MODELS_DATA_DIR / "orcai-v1"
     if not (model_dir / "orcai-v1.msgpack").exists():
-        import jax.numpy as jnp  # noqa: F401
-
         from orcai_tpu.io import read_json
         from orcai_tpu.io.model_store import save_orcai_model
         from orcai_tpu.models import build_model, init_variables

@@ -1,7 +1,6 @@
 """Label pipeline extras: call equivalences, masking, interval semantics."""
 
 import numpy as np
-import pandas as pd
 
 from orcai_tpu.io.jsonio import write_vector_to_json
 from orcai_tpu.pipeline.labels import convert_annotation, intervals_to_mask

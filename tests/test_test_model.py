@@ -4,7 +4,6 @@ import json
 
 import numpy as np
 
-from orcai_tpu.io import read_json
 from orcai_tpu.io.dataset import ArrayDataset
 from orcai_tpu.io.model_store import save_orcai_model
 from orcai_tpu.models import build_model, init_variables

@@ -5,7 +5,6 @@ import numpy as np
 import pytest
 
 import jax
-import jax.numpy as jnp
 
 from orcai_tpu.io import read_json
 from orcai_tpu.io.dataset import ArrayDataset
