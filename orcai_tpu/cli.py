@@ -89,6 +89,9 @@ def cli():
               help="JSON file with call duration limits. None for no filtering.")
 @click.option("--label_suffix", "-ls", default="*", show_default=True,
               help="Suffix to add to the label names.")
+@click.option("--predict_batch_size", "-bs", type=int, default=128,
+              show_default=True,
+              help="Window batch size for on-device inference.")
 @_verbosity_option
 def cli_predict(**kwargs):
     kwargs["msgr"] = Messenger(verbosity=kwargs["verbosity"],
