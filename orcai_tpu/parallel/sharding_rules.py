@@ -40,12 +40,20 @@ def _spec_for(path_keys: tuple[str, ...], ndim: int) -> P:
 def params_shardings(params, mesh: Mesh):
     """NamedSharding tree for a parameter pytree over the given mesh.
 
+    Leaves whose sharded dimension is not divisible by the "model" axis size
+    (e.g. a 7-label output head on a 2-way model axis) stay replicated.
     With mesh["model"] == 1 this degenerates to replication.
     """
+    n_model = mesh.shape["model"]
 
     def one(path, leaf):
         keys = tuple(getattr(p, "key", "") for p in path)
-        return NamedSharding(mesh, _spec_for(keys, leaf.ndim))
+        spec = _spec_for(keys, leaf.ndim)
+        for dim, axis in enumerate(spec):
+            if axis == "model" and leaf.shape[dim] % n_model != 0:
+                spec = P()
+                break
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(one, params)
 
