@@ -356,6 +356,7 @@ def fit(
     initial_lr: float | None = None,
     initial_epoch: int = 0,
     initial_history: dict | None = None,
+    initial_best_state_bytes: bytes | None = None,
     profile_dir: str | None = None,
 ) -> tuple[tuple, dict]:
     """Epoch loop with EarlyStopping / ReduceLROnPlateau / best-restore.
@@ -376,7 +377,9 @@ def fit(
     history: dict[str, list] = dict(initial_history) if initial_history else {}
     past = history.get(monitor, [])
     best_metric = max(past) if past else -np.inf
-    best_state_bytes = None
+    # on resume, the pre-interruption best weights are re-seeded so the
+    # final best-restore cannot regress to a worse post-resume state
+    best_state_bytes = initial_best_state_bytes
     stale_early = (len(past) - 1 - int(np.argmax(past))) if past else 0
     stale_lr = stale_early % max(reduce_lr_patience, 1) if past else 0
     lr = initial_lr if initial_lr is not None else get_learning_rate(state[2])
@@ -554,6 +557,7 @@ def train(
     # preemption-safe resume
     initial_epoch = 0
     initial_history: dict | None = None
+    initial_best_state_bytes: bytes | None = None
     initial_lr = mp["learning_rate"]
     ckpt = None
     if preemption_checkpointing:
@@ -567,6 +571,10 @@ def train(
             msgr.info(
                 f"Resuming interrupted training from epoch {initial_epoch + 1}"
             )
+            best_path = model_dir / f"{model_name}.msgpack"
+            if best_path.exists():
+                # best-so-far weights saved by the checkpoint callback
+                initial_best_state_bytes = best_path.read_bytes()
 
     import os
 
@@ -631,6 +639,7 @@ def train(
         initial_lr=initial_lr,
         initial_epoch=initial_epoch,
         initial_history=initial_history,
+        initial_best_state_bytes=initial_best_state_bytes,
         profile_dir=profile_dir,
     )
     if ckpt is not None:
