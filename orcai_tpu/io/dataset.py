@@ -166,6 +166,11 @@ class ArrayDataset:
             if len(shard_x) >= shard_size:
                 flush()
         flush()
+        if not shards:
+            raise ValueError(
+                f"Refusing to write an empty dataset to {path}: the snippet "
+                "loader produced no samples."
+            )
 
         sample_x = _read_npy(path / "spectrogram_00000.npy", compression)
         meta = {
@@ -182,7 +187,15 @@ class ArrayDataset:
     @classmethod
     def load(cls, path: Path | str) -> "ArrayDataset":
         path = Path(path)
-        meta = json.loads((path / "meta.json").read_text())
+        meta_path = path / "meta.json"
+        if not meta_path.exists():
+            raise FileNotFoundError(
+                f"No dataset at {path} (missing meta.json). Did "
+                "create-tvt-data complete successfully?"
+            )
+        meta = json.loads(meta_path.read_text())
+        if not meta["shards"]:
+            raise ValueError(f"Dataset at {path} is empty (no shards).")
         compression = meta.get("compression")
         xs, ys = [], []
         for i in range(len(meta["shards"])):
