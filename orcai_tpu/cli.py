@@ -32,6 +32,22 @@ FilePathW = click.Path(exists=False, dir_okay=False, writable=True,
                        resolve_path=True, path_type=Path)
 
 
+def _included_models() -> list[str]:
+    """Bundled model names discovered from package data (ref cli.py:58-60)."""
+    from orcai_tpu.resources import MODELS_DATA_DIR
+
+    try:
+        return sorted(
+            p.name for p in MODELS_DATA_DIR.iterdir()
+            if p.is_dir() and not p.name.startswith(".")
+        )
+    except OSError:
+        return []
+
+
+INCLUDED_MODELS = _included_models()
+
+
 def _verbosity_option(fn):
     return click.option(
         "--verbosity", "-v", type=click.IntRange(0, 3), default=2,
@@ -69,7 +85,9 @@ def cli():
 @click.argument("recording_path", type=FilePathR)
 @click.option("--channel", "-c", type=int, default=1, show_default=True,
               help="Channel to use for prediction for a single file.")
-@click.option("--model", "-m", "model", default="orcai-v1", show_default=True,
+@click.option("--model", "-m", "model",
+              type=click.Choice(INCLUDED_MODELS, case_sensitive=False),
+              default="orcai-v1", show_default=True,
               help="Builtin model to use for prediction. Overridden if "
               "model_dir is given.")
 @click.option("--model_dir", "-md", "model_dir", type=DirPathR, default=None,

@@ -203,6 +203,44 @@ def load_keras_checkpoint(path: Path | str, orcai_parameter: dict) -> dict:
     return keras_to_flax_variables(model, orcai_parameter)
 
 
+def load_keras_weights_h5(
+    path: Path | str, orcai_parameter: dict, input_shape=(736, 171, 1)
+) -> dict:
+    """Load legacy `model_weights.h5` weights and convert to flax variables.
+
+    Reference io.py:393-404 rebuilds the architecture and calls
+    model.load_weights on the h5 file; same here, through the equivalent
+    Keras graph. Handles both Keras-3 weight files and Keras-2 legacy h5
+    layouts (layer_names attribute).
+    """
+    import h5py
+    import keras
+
+    model = build_keras_model(orcai_parameter, input_shape)
+    with h5py.File(path, "r") as f:
+        group = f["model_weights"] if "model_weights" in f else f
+        is_legacy_layout = "layer_names" in group.attrs
+
+    if is_legacy_layout:
+        # true keras-2 era file: per-layer groups keyed by layer_names attr
+        from keras.src.legacy.saving import legacy_h5_format
+
+        with h5py.File(path, "r") as f:
+            group = f["model_weights"] if "model_weights" in f else f
+            legacy_h5_format.load_weights_from_hdf5_group(group, model)
+    else:
+        # keras-3 weights layout under a bare .h5 name: keras 3 dispatches
+        # loaders on the filename, so present it with the expected suffix
+        import shutil
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            renamed = Path(tmp) / "model.weights.h5"
+            shutil.copyfile(path, renamed)
+            model.load_weights(str(renamed))
+    return keras_to_flax_variables(model, orcai_parameter)
+
+
 def flax_to_keras_model(variables: dict, orcai_parameter: dict, input_shape):
     """Export flax variables into an equivalent Keras model (reverse path)."""
     model = build_keras_model(orcai_parameter, input_shape)

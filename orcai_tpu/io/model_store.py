@@ -79,6 +79,7 @@ def load_orcai_model(model_dir: Path | str, dtype=jnp.float32):
 
     msgpack_path = model_dir / f"{name}.msgpack"
     keras_path = model_dir / f"{name}.keras"
+    legacy_h5_path = model_dir / "model_weights.h5"
     if msgpack_path.exists():
         # untyped restore: no on-device init needed just to load weights
         variables = load_variables(msgpack_path)
@@ -86,9 +87,17 @@ def load_orcai_model(model_dir: Path | str, dtype=jnp.float32):
         from orcai_tpu.io.keras_convert import load_keras_checkpoint
 
         variables = load_keras_checkpoint(keras_path, orcai_parameter)
+    elif legacy_h5_path.exists():
+        # legacy reference model dir (io.py:393-404): rebuild the arch and
+        # load bare h5 weights
+        from orcai_tpu.io.keras_convert import load_keras_weights_h5
+
+        variables = load_keras_weights_h5(
+            legacy_h5_path, orcai_parameter, tuple(shape["input_shape"])
+        )
     else:
         raise ValueError(
-            f"Couldn't find model weights ({name}.msgpack or {name}.keras) "
-            f"in {model_dir}"
+            f"Couldn't find model weights ({name}.msgpack, {name}.keras or "
+            f"model_weights.h5) in {model_dir}"
         )
     return model, variables, orcai_parameter, shape

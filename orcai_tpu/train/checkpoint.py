@@ -29,7 +29,14 @@ class TrainCheckpointer:
             ),
         )
 
-    def save(self, epoch: int, state, history: dict, lr: float) -> None:
+    def save(
+        self,
+        epoch: int,
+        state,
+        history: dict,
+        lr: float,
+        counters: dict | None = None,
+    ) -> None:
         params, batch_stats, opt_state, rng = state
         payload = {
             "params": jax.device_get(params),
@@ -37,7 +44,15 @@ class TrainCheckpointer:
             "opt_state": jax.device_get(opt_state),
             "rng_data": np.asarray(jax.random.key_data(rng)),
         }
-        meta = {"epoch": int(epoch), "lr": float(lr), "history": history}
+        # counters: exact EarlyStopping/ReduceLROnPlateau staleness at epoch
+        # end, so a resumed run reduces LR / stops at the same epoch an
+        # uninterrupted run would
+        meta = {
+            "epoch": int(epoch),
+            "lr": float(lr),
+            "history": history,
+            "counters": counters,
+        }
         self._mgr.save(
             epoch,
             args=ocp.args.Composite(
@@ -50,8 +65,12 @@ class TrainCheckpointer:
     def latest_epoch(self) -> int | None:
         return self._mgr.latest_step()
 
-    def restore(self, state_template) -> tuple[tuple, dict, float, int] | None:
-        """Restore (state, history, lr, epoch) from the latest checkpoint."""
+    def restore(
+        self, state_template
+    ) -> tuple[tuple, dict, float, int, dict | None] | None:
+        """Restore (state, history, lr, epoch, counters) from the latest
+        checkpoint; counters is None for checkpoints written before counter
+        persistence."""
         step = self._mgr.latest_step()
         if step is None:
             return None
@@ -79,7 +98,7 @@ class TrainCheckpointer:
             jax.tree.map(jnp.asarray, payload["opt_state"]),
             jax.random.wrap_key_data(jnp.asarray(payload["rng_data"])),
         )
-        return state, meta["history"], meta["lr"], meta["epoch"]
+        return state, meta["history"], meta["lr"], meta["epoch"], meta.get("counters")
 
     def close(self) -> None:
         self._mgr.close()

@@ -156,7 +156,6 @@ def _test_model_on_dataset(
     msgr: Messenger,
 ) -> dict:
     import jax.numpy as jnp
-    import jax
 
     msgr.part(f"Testing model on {dataset_name}")
     params, batch_stats = state[0], state[1]
@@ -164,20 +163,16 @@ def _test_model_on_dataset(
     y_true_parts, y_pred_parts = [], []
     losses, correct, total, n = 0.0, 0.0, 0.0, 0
     for x, y in dataset.batches(batch_size, seed=seed):
-        metrics = np.asarray(
-            trainer.eval_step(params, batch_stats, jnp.asarray(x), jnp.asarray(y))
+        # one jitted forward yields metrics AND probabilities
+        metrics, probs = trainer.eval_step_probs(
+            params, batch_stats, jnp.asarray(x), jnp.asarray(y)
         )
+        metrics = np.asarray(metrics)
         losses += metrics[0]
         correct += metrics[1]
         total += metrics[2]
         n += 1
-        logits = trainer.model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            jnp.asarray(x),
-            train=False,
-            return_logits=True,
-        )
-        y_pred_parts.append(np.asarray(jax.nn.sigmoid(logits)))
+        y_pred_parts.append(np.asarray(probs))
         y_true_parts.append(y)
 
     data_metrics = {

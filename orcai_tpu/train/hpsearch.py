@@ -2,12 +2,22 @@
 
 L4 equivalent of reference hpsearch.py:21-257, which delegates to
 keras-tuner's Hyperband (max_epochs=10, objective max val_MBA). Here the
-Hyperband bracket/successive-halving logic is explicit: each trial is one
-jit-compiled training run on the device mesh (every trial is already
-data-parallel across the mesh; the reference's --parallel flag wrapped
-trials in a MirroredStrategy, hpsearch.py:186-205). Outputs preserved:
-hps_logs/best_hyperparameters.json + all_trials.csv with per-trial
-hyperparameters, score and status.
+Hyperband bracket/successive-halving logic is explicit and TPU-shaped:
+
+- every trial is one jit-compiled training run on a device mesh;
+- trial state persists under hps_logs/<name>/ and an interrupted search
+  resumes without repeating completed trials (keras-tuner persists trials
+  under its project directory the same way, hpsearch.py:184-235);
+- weights carry across Hyperband rungs: a promoted config continues
+  training from its previous rung's best weights instead of restarting
+  (keras-tuner semantics: each rung reloads the trial checkpoint);
+- --parallel fans the independent trials of a rung out across devices,
+  one single-device mesh per trial, overlapping via async dispatch (the
+  reference wrapped keras-tuner in a MirroredStrategy, hpsearch.py:186-205).
+
+Outputs preserved: hps_logs/best_hyperparameters.json + all_trials.csv with
+per-trial hyperparameters, score and status; the running best model is
+checkpointed to <output_dir>/<name>/hps/ (reference hpsearch.py:231-236).
 
 Search space schema matches default_hps_parameter.json: named filter sets,
 kernel_size / dropout_rate / lstm_units / batch_size choices.
@@ -15,7 +25,9 @@ kernel_size / dropout_rate / lstm_units / batch_size choices.
 
 from __future__ import annotations
 
+import json
 import math
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
@@ -24,7 +36,7 @@ import pandas as pd
 from orcai_tpu.io import read_json, write_json
 from orcai_tpu.io.dataset import ArrayDataset
 from orcai_tpu.models import build_model
-from orcai_tpu.parallel.mesh import mesh_for_batch
+from orcai_tpu.parallel.mesh import make_mesh, mesh_for_batch
 from orcai_tpu.resources import (
     DEFAULT_HPS_PARAMETER,
     DEFAULT_ORCAI_PARAMETER as DEFAULT_PARAMETER,
@@ -106,6 +118,44 @@ def _apply_config(orcai_parameter: dict, hps_parameter: dict, cfg: dict) -> dict
     return param
 
 
+class TrialStore:
+    """Completed-trial records + carried weights under hps_logs/<name>/.
+
+    One JSON per trial keyed by a deterministic trial id. The Hyperband
+    schedule is a pure function of the seed and the recorded scores, so
+    replaying the schedule against the store resumes an interrupted search
+    exactly, skipping every trial that already completed.
+    """
+
+    def __init__(self, directory: Path):
+        self.directory = Path(directory)
+        self.directory.mkdir(parents=True, exist_ok=True)
+
+    def record_path(self, trial_id: str) -> Path:
+        return self.directory / f"trial_{trial_id}.json"
+
+    def weights_path(self, trial_id: str) -> Path:
+        return self.directory / f"trial_{trial_id}.msgpack"
+
+    def load(self, trial_id: str) -> dict | None:
+        path = self.record_path(trial_id)
+        if not path.exists():
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def save(self, trial_id: str, record: dict, state_bytes: bytes) -> None:
+        self.weights_path(trial_id).write_bytes(state_bytes)
+        tmp = self.record_path(trial_id).with_suffix(".json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        tmp.replace(self.record_path(trial_id))  # atomic: record implies weights
+
+    def load_weights(self, trial_id: str) -> bytes | None:
+        path = self.weights_path(trial_id)
+        return path.read_bytes() if path.exists() else None
+
+
 def hyperparameter_search(
     data_dir: Path | str,
     output_dir: Path | str,
@@ -117,11 +167,14 @@ def hyperparameter_search(
     msgr: Messenger | None = None,
     max_epochs: int = 10,
     factor: int = 3,
+    early_stopping_patience: int = 5,
 ) -> None:
     """Hyperband search over the configured space.
 
     Writes hps_logs/best_hyperparameters.json and hps_logs/all_trials.csv
-    under output_dir (reference hpsearch.py:243-253).
+    under output_dir (reference hpsearch.py:243-253); per-trial state under
+    hps_logs/<name>/ makes the search resumable. early_stopping_patience
+    matches the reference's in-trial EarlyStopping (hpsearch.py:222-228).
     """
     if msgr is None:
         msgr = Messenger(verbosity=verbosity, title="Hyperparameter search")
@@ -145,44 +198,94 @@ def hyperparameter_search(
 
     hps_logs_dir = Path(output_dir) / "hps_logs"
     hps_logs_dir.mkdir(parents=True, exist_ok=True)
+    store = TrialStore(hps_logs_dir / model_name)
 
+    import flax.serialization
     import jax
     import os
 
-    # one HBM-resident copy of the datasets shared by every trial
-    limit = int(os.environ.get("ORCAI_TPU_DEVICE_DATASET_BYTES", 6_000_000_000))
-    device_data = None
-    if train_ds.x.nbytes + val_ds.x.nbytes <= limit:
-        msgr.info("Datasets HBM-resident: shared across trials")
-        device_data = (DeviceData(train_ds), DeviceData(val_ds))
-
-    if parallel:
-        msgr.info(
-            f"Parallel - every trial data-parallel over {len(jax.devices())} devices"
+    devices = jax.devices()
+    n_workers = len(devices) if parallel else 1
+    if parallel and len(devices) == 1:
+        msgr.warning(
+            "--parallel requested but only one device is visible; "
+            "trials run sequentially"
         )
+
+    # HBM-resident datasets shared by every trial on the same device
+    limit = int(os.environ.get("ORCAI_TPU_DEVICE_DATASET_BYTES", 6_000_000_000))
+    hbm_resident = (train_ds.x.nbytes + val_ds.x.nbytes) * n_workers <= limit
+    device_data_cache: dict[int, tuple] = {}
+
+    def device_data_for(device) -> tuple | None:
+        """HBM-resident copy pinned to `device`, or the shared uncommitted
+        copy when device is None (sequential mode: the trial mesh may span
+        all devices, and committed inputs would fight its shardings)."""
+        if not hbm_resident:
+            return None
+        key = id(device) if device is not None else None
+        if key not in device_data_cache:
+            device_data_cache[key] = (
+                DeviceData(train_ds, device=device),
+                DeviceData(val_ds, device=device),
+            )
+        return device_data_cache[key]
+
+    if hbm_resident:
+        msgr.info("Datasets HBM-resident: shared across trials")
     rng = np.random.default_rng(
         [13, orcai_parameter["seed"]] if orcai_parameter["seed"] else None
     )
+    seed_int = (
+        int(orcai_parameter["seed"]) % (2**31) if orcai_parameter["seed"] else 0
+    )
 
-    def run_trial(cfg: dict, epochs: int, trial_id: str) -> dict:
+    def run_trial(
+        cfg: dict,
+        epochs: int,
+        trial_id: str,
+        device,
+        initial_epoch: int = 0,
+        carry_from: str | None = None,
+    ) -> dict:
+        cached = store.load(trial_id)
+        if cached is not None:
+            return {**cached, "status": "CACHED"}
+
         param = _apply_config(orcai_parameter, hps_parameter, cfg)
         mp = param["model"]
         model = build_model(param)
-        trainer = Trainer(
-            model,
-            make_optimizer(mp["learning_rate"]),
-            mesh=mesh_for_batch(mp["batch_size"]),
+        mesh = (
+            make_mesh(n_data=1, devices=[device])
+            if device is not None
+            else mesh_for_batch(mp["batch_size"])
         )
-        seed_int = (
-            int(orcai_parameter["seed"]) % (2**31)
-            if orcai_parameter["seed"]
-            else 0
-        )
+        trainer = Trainer(model, make_optimizer(mp["learning_rate"]), mesh=mesh)
         state = trainer.init_state(tuple(dataset_shape["spectrogram"]), seed=seed_int)
-        if device_data is not None:
+        initial_history = None
+        if carry_from is not None:
+            carried = store.load_weights(carry_from)
+            prev_record = store.load(carry_from)
+            if carried is not None and prev_record is not None:
+                import jax.numpy as jnp
+
+                template = {
+                    "params": jax.device_get(state[0]),
+                    "batch_stats": jax.device_get(state[1]),
+                }
+                best = flax.serialization.from_bytes(template, carried)
+                state = (
+                    jax.tree.map(jnp.asarray, best["params"]),
+                    jax.tree.map(jnp.asarray, best["batch_stats"]),
+                    state[2],
+                    state[3],
+                )
+                initial_history = prev_record.get("history")
+
+        dd = device_data_for(device)
+        if dd is not None:
             run_train, run_val = device_runners(
-                trainer, device_data[0], device_data[1],
-                mp["batch_size"], train_seed, val_seed,
+                trainer, dd[0], dd[1], mp["batch_size"], train_seed, val_seed
             )
         else:
             run_train, run_val = streaming_runners(
@@ -197,12 +300,14 @@ def hyperparameter_search(
             run_val,
             epochs=epochs,
             monitor=monitor,
-            early_stopping_patience=5,
+            early_stopping_patience=early_stopping_patience,
             reduce_lr_patience=mp["ReduceLROnPlateau_patience"],
             reduce_lr_factor=mp["ReduceLROnPlateau_factor"],
             reduce_lr_min=mp["ReduceLROnPlateau_min_learning_rate"],
             msgr=Messenger(verbosity=0),
             initial_lr=mp["learning_rate"],
+            initial_epoch=initial_epoch,
+            initial_history=initial_history,
         )
         score = max(history[monitor])
         record = {
@@ -213,37 +318,80 @@ def hyperparameter_search(
             monitor: score,
             "val_loss": min(history["val_loss"]),
             "status": "COMPLETED",
+            "history": history,
         }
+        state_bytes = flax.serialization.to_bytes(
+            {"params": jax.device_get(state[0]),
+             "batch_stats": jax.device_get(state[1])}
+        )
+        store.save(trial_id, record, state_bytes)
         return record
 
     brackets = hyperband_schedule(max_epochs, factor)
     msgr.part(
         f"Searching hyperparameters: Hyperband max_epochs={max_epochs} "
         f"factor={factor}, {len(brackets)} brackets"
+        + (f", {n_workers} trial workers" if n_workers > 1 else "")
     )
 
     all_trials: list[dict] = []
     trial_counter = 0
-    best = {"score": -np.inf, "config": None}
+    best = {"score": -np.inf, "config": None, "trial_id": None}
+    hps_model_dir = Path(output_dir) / model_name / "hps"
 
     for b, rungs in enumerate(brackets):
         n0, _ = rungs[0]
         configs = sample_configs(hps_parameter, n0, rng)
         msgr.info(f"Bracket {b}: rungs {rungs}, {len(configs)} configs")
+        # per-config trial id of the previous rung (for weight carrying)
+        prev_trial_id: dict[tuple, str] = {}
+        prev_epochs = 0
         for rung_idx, (n_i, r_i) in enumerate(rungs):
             configs = configs[:n_i]
-            scored = []
+            submissions = []
             for cfg in configs:
                 trial_id = f"b{b}r{rung_idx}t{trial_counter:03d}"
                 trial_counter += 1
-                record = run_trial(cfg, r_i, trial_id)
-                all_trials.append(record)
+                key = tuple(sorted(cfg.items()))
+                submissions.append(
+                    (cfg, trial_id, prev_trial_id.get(key))
+                )
+            if n_workers > 1:
+                with ThreadPoolExecutor(max_workers=n_workers) as pool:
+                    futures = [
+                        pool.submit(
+                            run_trial, cfg, r_i, tid,
+                            devices[i % n_workers],
+                            initial_epoch=prev_epochs if carry else 0,
+                            carry_from=carry,
+                        )
+                        for i, (cfg, tid, carry) in enumerate(submissions)
+                    ]
+                    records = [f.result() for f in futures]
+            else:
+                records = [
+                    run_trial(
+                        cfg, r_i, tid, None,
+                        initial_epoch=prev_epochs if carry else 0,
+                        carry_from=carry,
+                    )
+                    for cfg, tid, carry in submissions
+                ]
+
+            scored = []
+            for (cfg, trial_id, _), record in zip(submissions, records):
+                all_trials.append({k: v for k, v in record.items() if k != "history"})
                 scored.append((record["score"], cfg))
                 msgr.info(
                     f"  trial {trial_id}: {cfg} -> {monitor}={record['score']:.4f}"
+                    + (" (cached)" if record["status"] == "CACHED" else "")
                 )
                 if record["score"] > best["score"]:
-                    best = {"score": record["score"], "config": cfg}
+                    best = {"score": record["score"], "config": cfg,
+                            "trial_id": trial_id}
+                key = tuple(sorted(cfg.items()))
+                prev_trial_id[key] = trial_id
+            prev_epochs = r_i
             # promote the top 1/factor to the next rung
             scored.sort(key=lambda t: t[0], reverse=True)
             configs = [cfg for _, cfg in scored]
@@ -253,4 +401,25 @@ def hyperparameter_search(
     write_json(best["config"], hps_logs_dir / "best_hyperparameters.json")
     pd.DataFrame(all_trials).to_csv(hps_logs_dir / "all_trials.csv", index=False)
     msgr.info(f"Saved trial data to {hps_logs_dir / 'all_trials.csv'}")
+
+    # persist the overall best model (reference ModelCheckpoint to
+    # <output_dir>/<name>/hps/, hpsearch.py:231-236)
+    best_bytes = store.load_weights(best["trial_id"]) if best["trial_id"] else None
+    if best_bytes is not None:
+        from orcai_tpu.io.model_store import save_orcai_model
+
+        param = _apply_config(orcai_parameter, hps_parameter, best["config"])
+        model = build_model(param)
+        trainer = Trainer(model, make_optimizer(param["model"]["learning_rate"]))
+        state = trainer.init_state(tuple(dataset_shape["spectrogram"]), seed=seed_int)
+        template = {
+            "params": jax.device_get(state[0]),
+            "batch_stats": jax.device_get(state[1]),
+        }
+        variables = flax.serialization.from_bytes(template, best_bytes)
+        save_orcai_model(
+            hps_model_dir, param, variables,
+            input_shape=tuple(dataset_shape["spectrogram"]),
+        )
+        msgr.info(f"Saved best model to {hps_model_dir}")
     msgr.success("Hyperparameter search completed")

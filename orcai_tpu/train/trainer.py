@@ -96,14 +96,24 @@ class Trainer:
                 in_shardings=(repl, repl, batch, batch),
                 out_shardings=repl,
             )
+            eval_probs_sharding_kwargs = dict(
+                in_shardings=(repl, repl, batch, batch),
+                out_shardings=(repl, batch),
+            )
         else:
             sharding_kwargs = {}
             eval_sharding_kwargs = {}
+            eval_probs_sharding_kwargs = {}
 
         self.train_step = jax.jit(
             self._train_step, donate_argnums=(0,), **sharding_kwargs
         )
         self.eval_step = jax.jit(self._eval_step, **eval_sharding_kwargs)
+        # metrics AND sigmoid probabilities from ONE forward (evaluation
+        # needs both; a second eager model.apply would double eval compute)
+        self.eval_step_probs = jax.jit(
+            self._eval_step_probs, **eval_probs_sharding_kwargs
+        )
 
     # -- state -------------------------------------------------------------
 
@@ -158,6 +168,10 @@ class Trainer:
         return (new_params, new_stats, new_opt_state, rng), metrics
 
     def _eval_step(self, params, batch_stats, x, y):
+        metrics, _ = self._eval_step_probs(params, batch_stats, x, y)
+        return metrics
+
+    def _eval_step_probs(self, params, batch_stats, x, y):
         logits = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             x,
@@ -168,9 +182,10 @@ class Trainer:
         loss = loss + l2_regularization(params)
         probs = jax.nn.sigmoid(logits)
         correct, total = masked_binary_accuracy_counts(probs, y)
-        return jnp.stack(
+        metrics = jnp.stack(
             [loss, correct.astype(jnp.float32), total.astype(jnp.float32)]
         )
+        return metrics, probs.astype(jnp.float32)
 
     # -- device-resident epochs -------------------------------------------------
 
@@ -284,12 +299,16 @@ def streaming_runners(trainer: Trainer, train_batches, val_batches):
 class DeviceData:
     """An (X, Y) dataset resident in device HBM, shareable across trainers."""
 
-    def __init__(self, ds: ArrayDataset, quantize: bool = False):
+    def __init__(self, ds: ArrayDataset, quantize: bool = False, device=None):
         x = np.asarray(ds.x)
         if quantize:
             x = np.round(x * 255.0).astype(np.uint8)
-        self.x = jnp.asarray(x)
-        self.y = jnp.asarray(np.asarray(ds.y, np.float32))
+        if device is not None:
+            self.x = jax.device_put(x, device)
+            self.y = jax.device_put(np.asarray(ds.y, np.float32), device)
+        else:
+            self.x = jnp.asarray(x)
+            self.y = jnp.asarray(np.asarray(ds.y, np.float32))
         self.n = len(ds)
 
     def n_batches(self, batch_size: int) -> int:
@@ -357,6 +376,7 @@ def fit(
     initial_epoch: int = 0,
     initial_history: dict | None = None,
     initial_best_state_bytes: bytes | None = None,
+    initial_counters: dict | None = None,
     profile_dir: str | None = None,
 ) -> tuple[tuple, dict]:
     """Epoch loop with EarlyStopping / ReduceLROnPlateau / best-restore.
@@ -365,11 +385,13 @@ def fit(
     epoch) -> metrics: epoch runners (see streaming_runners/device_runners).
     on_improve: callback(state, history) fired when the monitored metric
     improves (the ModelCheckpoint hook). on_epoch_end: callback(state,
-    history, epoch, lr) fired after every epoch (preemption-safe
-    checkpointing hook). initial_epoch / initial_history resume a run
-    mid-schedule; early-stopping and LR-plateau counters are reconstructed
-    from the history. profile_dir enables a jax.profiler trace of the first
-    resumed epoch. Returns (best state, history dict).
+    history, epoch, lr, counters) fired after every epoch (preemption-safe
+    checkpointing hook); counters carries the exact EarlyStopping /
+    ReduceLROnPlateau staleness. initial_epoch / initial_history resume a
+    run mid-schedule; the counters are restored exactly from
+    initial_counters when given (checkpointed resume) and only approximated
+    from the history otherwise. profile_dir enables a jax.profiler trace of
+    the first resumed epoch. Returns (best state, history dict).
     """
     if msgr is None:
         msgr = Messenger(verbosity=0)
@@ -380,8 +402,12 @@ def fit(
     # on resume, the pre-interruption best weights are re-seeded so the
     # final best-restore cannot regress to a worse post-resume state
     best_state_bytes = initial_best_state_bytes
-    stale_early = (len(past) - 1 - int(np.argmax(past))) if past else 0
-    stale_lr = stale_early % max(reduce_lr_patience, 1) if past else 0
+    if initial_counters is not None:
+        stale_early = int(initial_counters["stale_early"])
+        stale_lr = int(initial_counters["stale_lr"])
+    else:
+        stale_early = (len(past) - 1 - int(np.argmax(past))) if past else 0
+        stale_lr = stale_early % max(reduce_lr_patience, 1) if past else 0
     lr = initial_lr if initial_lr is not None else get_learning_rate(state[2])
 
     for epoch in range(initial_epoch, epochs):
@@ -427,7 +453,13 @@ def fit(
                     msgr.info(f"ReduceLROnPlateau: learning rate -> {lr:.2e}")
                 stale_lr = 0
         if on_epoch_end is not None:
-            on_epoch_end(state, history, epoch, lr)
+            on_epoch_end(
+                state,
+                history,
+                epoch,
+                lr,
+                {"stale_early": stale_early, "stale_lr": stale_lr},
+            )
         if stale_early >= early_stopping_patience:
             msgr.info(f"EarlyStopping at epoch {epoch + 1}")
             break
@@ -558,6 +590,7 @@ def train(
     initial_epoch = 0
     initial_history: dict | None = None
     initial_best_state_bytes: bytes | None = None
+    initial_counters: dict | None = None
     initial_lr = mp["learning_rate"]
     ckpt = None
     if preemption_checkpointing:
@@ -566,7 +599,7 @@ def train(
         ckpt = TrainCheckpointer(model_dir / "resume")
         restored = ckpt.restore(state)
         if restored is not None:
-            state, initial_history, initial_lr, last_epoch = restored
+            state, initial_history, initial_lr, last_epoch, initial_counters = restored
             initial_epoch = last_epoch + 1
             msgr.info(
                 f"Resuming interrupted training from epoch {initial_epoch + 1}"
@@ -633,13 +666,16 @@ def train(
         reduce_lr_min=mp["ReduceLROnPlateau_min_learning_rate"],
         on_improve=save_checkpoint,
         on_epoch_end=(
-            (lambda s, h, e, lr: ckpt.save(e, s, h, lr)) if ckpt else None
+            (lambda s, h, e, lr, c: ckpt.save(e, s, h, lr, counters=c))
+            if ckpt
+            else None
         ),
         msgr=msgr,
         initial_lr=initial_lr,
         initial_epoch=initial_epoch,
         initial_history=initial_history,
         initial_best_state_bytes=initial_best_state_bytes,
+        initial_counters=initial_counters,
         profile_dir=profile_dir,
     )
     if ckpt is not None:

@@ -39,16 +39,18 @@ def test_save_restore_roundtrip(tmp_path):
 
     history = {"loss": [0.5, 0.4], "val_MBA": [0.6, 0.7]}
     ckpt = TrainCheckpointer(tmp_path / "resume")
-    ckpt.save(1, state, history, lr=5e-3)
+    ckpt.save(1, state, history, lr=5e-3,
+              counters={"stale_early": 2, "stale_lr": 1})
 
     trainer2, template = _trainer_state()
     ckpt2 = TrainCheckpointer(tmp_path / "resume")
     restored = ckpt2.restore(template)
     assert restored is not None
-    r_state, r_history, r_lr, r_epoch = restored
+    r_state, r_history, r_lr, r_epoch, r_counters = restored
     assert r_epoch == 1
     assert r_lr == 5e-3
     assert r_history == history
+    assert r_counters == {"stale_early": 2, "stale_lr": 1}
 
     for a, b in zip(jax.tree.leaves(state[0]), jax.tree.leaves(r_state[0])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

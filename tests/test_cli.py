@@ -34,6 +34,19 @@ def test_help_all_commands():
         assert result.exit_code == 0, cmd
 
 
+def test_model_option_validated(tmp_path):
+    """--model must name a bundled model (ref cli.py:58-60 click.Choice)."""
+    from orcai_tpu.cli import INCLUDED_MODELS
+
+    assert "orcai-v1" in INCLUDED_MODELS
+    wav = tmp_path / "a.wav"
+    wav.write_bytes(b"RIFF0000WAVE")  # never read: validation fails first
+    runner = CliRunner()
+    result = runner.invoke(cli, ["predict", str(wav), "-m", "no-such-model"])
+    assert result.exit_code != 0
+    assert "no-such-model" in result.output
+
+
 def test_version():
     runner = CliRunner()
     result = runner.invoke(cli, ["--version"])

@@ -99,3 +99,64 @@ def test_hpsearch_e2e(tmp_path):
     assert len(trials) >= 3
     assert {"filters", "score", "status"}.issubset(trials.columns)
     assert (trials["status"] == "COMPLETED").all()
+    # best model checkpointed for direct loading
+    from orcai_tpu.io.model_store import load_orcai_model
+
+    model, variables, param, shape = load_orcai_model(
+        out / PARAM["name"] / "hps"
+    )
+    assert "params" in variables
+
+    # a re-run resumes from the trial store: no trial retrained, same best
+    hyperparameter_search(
+        tmp_path,
+        out,
+        orcai_parameter=PARAM,
+        hps_parameter=HPS,
+        msgr=Messenger(verbosity=0),
+        verbosity=0,
+        max_epochs=2,
+        factor=2,
+    )
+    trials2 = pd.read_csv(logs / "all_trials.csv")
+    assert (trials2["status"] == "CACHED").all()
+    assert trials2["score"].tolist() == trials["score"].tolist()
+    best2 = json.loads((logs / "best_hyperparameters.json").read_text())
+    assert best2 == best
+
+
+def test_hpsearch_parallel(tmp_path):
+    """--parallel fans rung trials out across the virtual 8-device mesh."""
+    rng = np.random.default_rng(1)
+    x = rng.uniform(size=(16, *INPUT_SHAPE)).astype(np.float32)
+    y = rng.integers(0, 2, size=(16, 2, 2)).astype(np.float32)
+
+    class L:
+        def __len__(self):
+            return len(x)
+
+        def __iter__(self):
+            return iter(zip(x, y))
+
+    for split in ["train", "val"]:
+        ArrayDataset.save_from_loader(L(), tmp_path / f"{split}_dataset",
+                                      compression=None)
+    (tmp_path / "dataset_shapes.json").write_text(
+        json.dumps({"spectrogram": list(INPUT_SHAPE), "labels": [2, 2]})
+    )
+    out = tmp_path / "out"
+    out.mkdir()
+    hyperparameter_search(
+        tmp_path,
+        out,
+        orcai_parameter=PARAM,
+        hps_parameter=HPS,
+        parallel=True,
+        msgr=Messenger(verbosity=0),
+        verbosity=0,
+        max_epochs=2,
+        factor=2,
+    )
+    trials = pd.read_csv(out / "hps_logs" / "all_trials.csv")
+    assert (trials["status"] == "COMPLETED").all()
+    assert (out / "hps_logs" / "best_hyperparameters.json").exists()

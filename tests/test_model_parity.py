@@ -83,6 +83,30 @@ def test_resnet_1dconv_forward_parity():
     np.testing.assert_allclose(np.asarray(y_flax), y_keras, atol=2e-5)
 
 
+def test_legacy_h5_weights_load(keras_lstm_model, tmp_path):
+    """A legacy model dir (model_weights.h5, no .keras/.msgpack) is drop-in
+    loadable (reference io.py:393-404)."""
+    import json
+
+    from orcai_tpu.io.model_store import load_orcai_model
+
+    model_dir = tmp_path / "legacy_model"
+    model_dir.mkdir()
+    keras_lstm_model.save_weights(str(model_dir / "w.weights.h5"))
+    (model_dir / "w.weights.h5").rename(model_dir / "model_weights.h5")
+    (model_dir / "orcai_parameter.json").write_text(json.dumps(SMALL_PARAM))
+    (model_dir / "model_shape.json").write_text(
+        json.dumps({"input_shape": list(INPUT_SHAPE),
+                    "num_labels": len(SMALL_PARAM["calls"])})
+    )
+
+    model, variables, param, shape = load_orcai_model(model_dir)
+    x = _rand_batch(seed=11)
+    y_keras = keras_lstm_model.predict(x, verbose=0)
+    y_flax = model.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(y_flax), y_keras, atol=2e-5)
+
+
 def test_flax_init_shapes():
     model = build_model(SMALL_PARAM)
     variables = model.init(jax.random.key(0), jnp.zeros((1, *INPUT_SHAPE)))

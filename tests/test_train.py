@@ -126,6 +126,57 @@ def test_fit_early_stopping_and_reduce_lr():
     assert "val_MBA" in history and "learning_rate" in history
 
 
+def test_fit_counters_exact_resume():
+    """Checkpointed EarlyStopping/ReduceLR counters make a resumed run
+    reduce LR at exactly the same epoch as an uninterrupted one."""
+    model = build_model(PARAM)
+    trainer = Trainer(model, make_optimizer(1e-3), mesh=make_mesh(n_data=1))
+
+    vals = [0.5, 0.6, 0.6, 0.59, 0.58, 0.57, 0.56, 0.55]
+
+    def fake_train(state, epoch):
+        return state, {"loss": 1.0, "MBA": 0.5}
+
+    def fake_val(state, epoch):
+        return {"val_loss": 1.0, "val_MBA": vals[epoch]}
+
+    def run(initial_epoch=0, initial_history=None, initial_counters=None,
+            epochs=len(vals), state=None, captured=None):
+        if state is None:
+            state = trainer.init_state(INPUT_SHAPE, seed=0)
+        return fit(
+            trainer, state, fake_train, fake_val,
+            epochs=epochs,
+            early_stopping_patience=10,
+            reduce_lr_patience=3,
+            initial_lr=1e-3,
+            initial_epoch=initial_epoch,
+            initial_history=initial_history,
+            initial_counters=initial_counters,
+            on_epoch_end=captured,
+        )
+
+    _, full_history = run()
+
+    # interrupted after epoch 3 (zero-based epoch index 2)
+    snapshots = []
+    _, part_history = run(
+        epochs=3,
+        captured=lambda s, h, e, lr, c: snapshots.append((e, lr, dict(c), dict(h))),
+    )
+    e, lr, counters, hist = snapshots[-1]
+    assert counters == {"stale_early": 1, "stale_lr": 1}  # best was epoch 2
+
+    state = trainer.init_state(INPUT_SHAPE, seed=0)
+    _, resumed_history = run(
+        initial_epoch=e + 1,
+        initial_history={k: list(v) for k, v in hist.items()},
+        initial_counters=counters,
+        state=state,
+    )
+    assert resumed_history["learning_rate"] == full_history["learning_rate"]
+
+
 def test_train_e2e_and_resume(tmp_path):
     x, y = _synthetic_arrays(n=32)
 
