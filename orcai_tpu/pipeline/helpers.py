@@ -1,6 +1,10 @@
-"""Project management helpers: init, recording table construction.
+"""Project scaffolding and recording-catalog construction.
 
-Pipeline-level equivalent of reference helpers.py:13-267.
+Covers the reference's project helpers (helpers.py:13-267) with the same
+on-disk contracts — `<project>_*.json` config copies with a fresh 128-bit
+master seed, and a recording_table.csv whose columns/values downstream
+pipeline steps consume — but organized as small pure helpers around two
+thin drivers.
 """
 
 from __future__ import annotations
@@ -15,6 +19,18 @@ from numpy.random import SeedSequence
 from orcai_tpu.io import read_json, write_json
 from orcai_tpu.resources import DEFAULTS_DIR, MODELS_DATA_DIR
 from orcai_tpu.utils import Messenger
+
+# columns every recording table carries, in output order (per-call
+# possibility columns and carried-over columns are appended)
+_TABLE_COLUMNS = [
+    "channel",
+    "duplicate",
+    "base_dir_recording",
+    "rel_recording_path",
+    "base_dir_annotation",
+    "rel_annotation_path",
+]
+_PATH_COLUMNS = _TABLE_COLUMNS[2:]
 
 
 def bundled_model_dir(name: str) -> Path:
@@ -31,6 +47,38 @@ def list_bundled_models() -> list[str]:
     )
 
 
+def _stage_default_configs(project_dir: Path, project_name: str, msgr) -> Path:
+    """Copy each packaged default JSON as <project>_<file>.json; returns the
+    path of the staged orcai parameter file."""
+    param_path = None
+    for source in sorted(DEFAULTS_DIR.glob("*.json")):
+        target = project_dir / source.name.replace("default", project_name)
+        msgr.info(f"Creating {target.name}")
+        shutil.copy(source, target)
+        if "orcai_parameter" in source.name:
+            param_path = target
+    return param_path
+
+
+def _merge_overrides(base: dict, overrides: dict, msgr) -> dict:
+    """Section-wise deep merge of user overrides into the default parameter
+    schema; sections unknown to the schema are dropped with a warning."""
+    merged = dict(base)
+    for section, value in overrides.items():
+        if section not in merged:
+            msgr.warning(
+                f"{section} not found in default orcAI parameter. Ignoring."
+            )
+            continue
+        if isinstance(merged[section], dict):
+            merged[section] = {**merged[section], **value}
+        else:
+            merged[section] = value
+        msgr.info(f'Updating "{section}" in default orcAI parameter with', indent=1)
+        msgr.info(value, indent=-1)
+    return merged
+
+
 def init_project(
     project_dir: Path | str,
     project_name: str,
@@ -38,12 +86,11 @@ def init_project(
     msgr: Messenger | None = None,
     parameter: Path | str | dict | None = None,
 ) -> None:
-    """Create a project directory with renamed default configs + fresh seed.
+    """Scaffold a project: staged default configs + merged parameter file.
 
-    Copies every default JSON as `<project>_*.json`, deep-merges user
-    parameter overrides section-wise (warning on unknown sections), and
-    generates a fresh 128-bit master seed unless one is supplied
-    (reference helpers.py:13-90).
+    Contract (reference helpers.py:13-90): every default JSON lands as
+    `<project>_*.json`, user overrides merge section-wise, and the master
+    seed is fresh 128-bit SeedSequence entropy unless the overrides pin one.
     """
     if msgr is None:
         msgr = Messenger(verbosity=verbosity, title="Initializing project")
@@ -51,38 +98,51 @@ def init_project(
     project_dir = Path(project_dir)
     project_dir.mkdir(parents=True, exist_ok=True)
 
-    defaults_dir = DEFAULTS_DIR
-    for file in sorted(defaults_dir.glob("*.json")):
-        new_path = project_dir / file.name.replace("default", project_name)
-        msgr.info(f"Creating {new_path.name}")
-        shutil.copy(file, new_path)
-
-    param_path = project_dir / f"{project_name}_orcai_parameter.json"
+    param_path = _stage_default_configs(project_dir, project_name, msgr)
     orcai_parameter = read_json(param_path)
 
-    if parameter is not None:
-        if isinstance(parameter, (Path, str)):
-            parameter = read_json(parameter)
-        for key in parameter:
-            if key not in orcai_parameter:
-                msgr.warning(f"{key} not found in default orcAI parameter. Ignoring.")
-                continue
-            if isinstance(orcai_parameter[key], dict):
-                orcai_parameter[key].update(parameter[key])
-            else:
-                orcai_parameter[key] = parameter[key]
-            msgr.info(f'Updating "{key}" in default orcAI parameter with', indent=1)
-            msgr.info(parameter[key], indent=-1)
-        if "seed" not in parameter:
-            msgr.info("Generating random seed")
-            orcai_parameter["seed"] = SeedSequence().entropy
-    else:
-        msgr.info("Generating random seed")
+    overrides = parameter
+    if isinstance(overrides, (Path, str)):
+        overrides = read_json(overrides)
+    if overrides:
+        orcai_parameter = _merge_overrides(orcai_parameter, overrides, msgr)
+    if not overrides or "seed" not in overrides:
+        msgr.info("Drawing a fresh 128-bit master seed")
         orcai_parameter["seed"] = SeedSequence().entropy
 
     orcai_parameter["name"] = project_name
     write_json(orcai_parameter, param_path)
-    msgr.success("Project initialized.")
+    msgr.success("Project ready.")
+
+
+def _scan_files(root: Path, pattern: str, exclude: list[str] | None, msgr):
+    """Recursive scan, sorted for determinism, with substring exclusion."""
+    found = sorted(root.glob(pattern))
+    for fragment in exclude or []:
+        found = [p for p in found if fragment not in str(p)]
+        msgr.info(
+            f"{len(found)} files matching {pattern} left after dropping "
+            f"{fragment!r}"
+        )
+    return found
+
+
+def _files_frame(files, root, index_from_stem: bool, columns: dict) -> pd.DataFrame:
+    """DataFrame indexed by file stem with relative-path columns."""
+    frame = pd.DataFrame(
+        {
+            "recording": [p.stem for p in files],
+            **{
+                key: (
+                    [str(p.relative_to(root)) for p in files]
+                    if isinstance(value, str) and value == "__relpath__"
+                    else value
+                )
+                for key, value in columns.items()
+            },
+        }
+    )
+    return frame.set_index("recording")
 
 
 def create_recording_table(
@@ -98,124 +158,92 @@ def create_recording_table(
     verbosity: int = 2,
     msgr: Messenger | None = None,
 ) -> pd.DataFrame:
-    """Scan for wav + annotation files and join them into a recording table.
+    """Catalog wav recordings and their annotation files into one table.
 
-    Output columns match the reference (helpers.py:93-267): channel,
-    duplicate, base_dir_recording, rel_recording_path, base_dir_annotation,
-    rel_annotation_path, plus one per-call possibility column when an orcai
-    parameter file is given.
+    Output contract (reference helpers.py:93-267): CSV indexed by recording
+    stem with channel / duplicate / base+relative path columns, optional
+    per-call possibility columns (blank, filled in by the user), and —
+    in update mode — any extra columns carried over from the previous table.
     """
     if msgr is None:
         msgr = Messenger(verbosity=verbosity, title="Creating recording table")
 
     msgr.part("Resolving file paths")
-    if output_path is None:
-        output_path = Path(base_dir_recording) / "recording_table.csv"
-    else:
-        output_path = Path(output_path)
+    base_dir_recording = Path(base_dir_recording)
+    output_path = (
+        Path(output_path)
+        if output_path is not None
+        else base_dir_recording / "recording_table.csv"
+    )
     if output_path.exists():
         msgr.error(f"Output path {output_path} already exists!")
         sys.exit(1)
 
-    wav_files = sorted(Path(base_dir_recording).glob("**/*.wav"))
-    if base_dir_annotation is None:
-        base_dir_annotation = base_dir_recording
-    annotation_files = sorted(Path(base_dir_annotation).glob("**/*.txt"))
+    base_dir_annotation = Path(base_dir_annotation or base_dir_recording)
+    exclude = exclude_patterns
+    if isinstance(exclude, (Path, str)):
+        exclude = read_json(exclude)
+    wavs = _scan_files(base_dir_recording, "**/*.wav", exclude, msgr)
+    annotations = _scan_files(base_dir_annotation, "**/*.txt", exclude, msgr)
 
-    if exclude_patterns is not None:
-        if isinstance(exclude_patterns, (Path, str)):
-            exclude_patterns = read_json(exclude_patterns)
-        for pattern in exclude_patterns:
-            wav_files = [f for f in wav_files if pattern not in str(f)]
-            annotation_files = [
-                f for f in annotation_files if pattern not in str(f)
-            ]
-            msgr.info(f"Remaining files after filtering {pattern!r}: "
-                      f"{len(wav_files)} wav, {len(annotation_files)} annotations")
+    calls = read_json(orcai_parameter)["calls"] if orcai_parameter else []
 
-    if orcai_parameter is not None:
-        label_calls = read_json(orcai_parameter)["calls"]
-        call_possible = {call: pd.NA for call in label_calls}
-    else:
-        call_possible = {}
-
-    recording_table = pd.DataFrame(
+    table = _files_frame(
+        wavs,
+        base_dir_recording,
+        True,
         {
-            "recording": [p.stem for p in wav_files],
             "recording_type": "unknown",
             "channel": default_channel,
             "base_dir_recording": str(base_dir_recording),
-            "rel_recording_path": [
-                str(p.relative_to(base_dir_recording)) for p in wav_files
-            ],
-            **call_possible,
-        }
-    ).set_index("recording")
-
-    annotations_table = pd.DataFrame(
+            "rel_recording_path": "__relpath__",
+            **{call: pd.NA for call in calls},
+        },
+    )
+    annotation_table = _files_frame(
+        annotations,
+        base_dir_annotation,
+        True,
         {
-            "recording": [p.stem for p in annotation_files],
             "base_dir_annotation": str(base_dir_annotation),
-            "rel_annotation_path": [
-                str(p.relative_to(base_dir_annotation)) for p in annotation_files
-            ],
-        }
-    ).set_index("recording")
+            "rel_annotation_path": "__relpath__",
+        },
+    )
 
-    missing = set(annotations_table.index) - set(recording_table.index)
-    if missing:
+    orphans = set(annotation_table.index) - set(table.index)
+    if orphans:
         msgr.warning(
-            f"{len(missing)} annotations with missing recordings: {missing}. "
+            f"{len(orphans)} annotations with missing recordings: {orphans}. "
             "These will be ignored."
         )
 
-    recording_table = recording_table.join(annotations_table, how="left")
-    recording_table["duplicate"] = recording_table.index.duplicated(keep=False)
-    n_duplicates = int(recording_table["duplicate"].sum())
-    if n_duplicates > 0:
+    table = table.join(annotation_table, how="left")
+    table["duplicate"] = table.index.duplicated(keep=False)
+    if table["duplicate"].any():
         if remove_duplicate_filenames:
-            recording_table = recording_table[~recording_table["duplicate"]]
+            table = table[~table["duplicate"]]
         else:
             msgr.warning("Duplicate filenames found.")
             msgr.warning(
-                "Please check the duplicates marked in the output table and "
-                "ensure file stems are unique within the specified directories."
+                "Rows sharing a file stem are marked in the 'duplicate' "
+                "column; stems must be unique for downstream steps."
             )
 
-    additional_columns = []
+    carried_columns = []
     if update_table is not None:
         previous = pd.read_csv(update_table, index_col="recording")
-        additional_columns = previous.columns.difference(recording_table.columns)
+        carried_columns = previous.columns.difference(table.columns)
         if not update_paths:
-            recording_table[
-                [
-                    "base_dir_recording",
-                    "rel_recording_path",
-                    "base_dir_annotation",
-                    "rel_annotation_path",
-                ]
-            ] = None
-        recording_table = recording_table.combine_first(previous)
+            table[_PATH_COLUMNS] = None
+        table = table.combine_first(previous)
 
-    recording_table = recording_table[
-        [
-            "channel",
-            "duplicate",
-            "base_dir_recording",
-            "rel_recording_path",
-            "base_dir_annotation",
-            "rel_annotation_path",
-            *additional_columns,
-            *call_possible.keys(),
-        ]
-    ]
+    table = table[[*_TABLE_COLUMNS, *carried_columns, *calls]]
 
     msgr.part(f"Saving recording table to {output_path}")
-    recording_table.to_csv(output_path)
-    msgr.info(f"Total recordings: {len(recording_table)}", set_indent=1)
+    table.to_csv(output_path)
+    msgr.info(f"Total recordings: {len(table)}", set_indent=1)
     msgr.info(
-        "Total recordings with annotations: "
-        f"{recording_table['rel_annotation_path'].count()}"
+        f"Recordings with annotations: {table['rel_annotation_path'].count()}"
     )
-    msgr.success("Recordings table created.")
-    return recording_table
+    msgr.success("Recording table written.")
+    return table

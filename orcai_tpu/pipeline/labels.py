@@ -56,7 +56,7 @@ def convert_annotation(
     """One annotation file -> (label array DataFrame, {call: present|masked})."""
     if msgr is None:
         msgr = Messenger(verbosity=0)
-    msgr.part("Converting annotation to label array")
+    msgr.part("Rasterizing annotation intervals onto the frame grid")
     recording = annotation_file_path.stem
     annotations = read_annotation_file(annotation_file_path)
 
@@ -69,7 +69,7 @@ def convert_annotation(
             call_equivalences.keys()
         )
         if unmapped:
-            msgr.info(f"labels not in call equivalences: {unmapped}")
+            msgr.info(f"Annotation labels missing from the equivalence map: {unmapped}")
     else:
         annotations["label"] = annotations["origlabel"]
 
@@ -116,7 +116,7 @@ def create_label_arrays(
     if msgr is None:
         msgr = Messenger(verbosity=verbosity, title="Making label arrays")
 
-    msgr.part("Reading recordings table")
+    msgr.part("Loading the recording table")
     output_dir = Path(output_dir)
     recording_table = pd.read_csv(recording_table_path)
 
@@ -126,7 +126,7 @@ def create_label_arrays(
     not_annotated = recording_table["base_dir_annotation"].isna()
     if not_annotated.any():
         msgr.info(
-            f"Skipping {not_annotated.sum()} because of missing annotation files."
+            f"{not_annotated.sum()} recordings have no annotation file; skipping them."
         )
         recording_table = recording_table[~not_annotated]
 
@@ -146,7 +146,7 @@ def create_label_arrays(
         recording_table = recording_table[~existing]
 
     recordings_no_labels = []
-    msgr.part("Making label arrays")
+    msgr.part("Building label arrays")
     for i in tqdm(
         recording_table.index,
         desc="Making label arrays",
@@ -177,5 +177,5 @@ def create_label_arrays(
         write_json(label_dict, labels_dir / "label_list.json")
 
     if recordings_no_labels:
-        msgr.warning(f"No valid labels present in {recordings_no_labels}")
-    msgr.success("Finished making label arrays")
+        msgr.warning(f"Recordings without any valid label: {recordings_no_labels}")
+    msgr.success("Label arrays written")

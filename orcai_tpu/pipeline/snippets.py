@@ -177,7 +177,7 @@ def create_snippet_table(
     if msgr is None:
         msgr = Messenger(verbosity=verbosity, title="Making snippet table")
 
-    msgr.part("Reading recording table")
+    msgr.part("Loading the recording table")
     if isinstance(orcai_parameter, (Path, str)):
         orcai_parameter = read_json(orcai_parameter)
 
@@ -204,7 +204,7 @@ def create_snippet_table(
         recording_table = recording_table[~missing]
 
     lengths, segments, tables, failed, failed_reason = [], [], [], [], []
-    msgr.part("Making snippet tables")
+    msgr.part("Sampling snippet tables")
     rng = rng_for(SEED_ID_MAKE_SNIPPET_TABLE, orcai_parameter["seed"])
     for i in tqdm(
         recording_table.index,
@@ -238,7 +238,7 @@ def create_snippet_table(
     msgr.info(f"Total number of segments: {np.sum(segments)}")
     msgr.info(f"Creating snippet table failed for {len(failed)} recordings.")
 
-    msgr.part("Saving snippet table...")
+    msgr.part("Writing the combined snippet table")
     failed_table.to_csv(output_dir / "failed_snippets.csv", index=False)
     snippet_table.to_csv(
         output_dir / "all_snippets.csv.gz", compression="gzip", index=False
@@ -258,16 +258,14 @@ def filter_snippet_table(
         rng = np.random.default_rng()
     if msgr is None:
         msgr = Messenger(verbosity=0)
-    msgr.part("Filtering snippet table")
+    msgr.part("Thinning label-free snippets")
 
     calls = orcai_parameter["calls"]
     no_label = snippet_table[snippet_table[calls].sum(axis=1) <= 0.0000001]
     p_before = np.around(100 * len(no_label) / len(snippet_table), 2)
-    msgr.info(
-        f"Percentage of snippets containing no label before selection: {p_before} %"
-    )
+    msgr.info(f"Label-free snippets before thinning: {p_before} %")
     frac = orcai_parameter["snippets"]["fraction_removal"]
-    msgr.info(f"removing {np.around(frac * 100, 2)}% of snippets without label")
+    msgr.info(f"Thinning out {np.around(frac * 100, 2)}% of the label-free snippets")
 
     drop = rng.choice(
         no_label.index, size=int(frac * len(no_label)), replace=False
@@ -276,9 +274,7 @@ def filter_snippet_table(
 
     no_label_after = snippet_table[snippet_table[calls].sum(axis=1) <= 0.0000001]
     p_after = np.around(100 * len(no_label_after) / len(snippet_table), 2)
-    msgr.info(
-        f"Percentage of snippets containing no label after selection: {p_after} %"
-    )
+    msgr.info(f"Label-free snippets after thinning: {p_after} %")
     snippet_table = snippet_table.reset_index(drop=True)
     msgr.info("Number of train, val, test snippets:", indent=1)
     msgr.info(snippet_table.groupby("data_type").size(), indent=-1)
@@ -306,7 +302,7 @@ def create_tvt_snippet_tables(
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
 
-    msgr.part("Reading snippet table")
+    msgr.part("Loading the snippet table")
     if isinstance(orcai_parameter, (Path, str)):
         orcai_parameter = read_json(orcai_parameter)
     if snippet_table is None:
@@ -357,7 +353,7 @@ def create_tvt_snippet_tables(
         sample[["recording_data_dir", "row_start", "row_stop"]].to_csv(
             out_path, compression="gzip", index=False
         )
-        msgr.info(f"saved {itype} snippets to disk")
+        msgr.info(f"{itype} snippet table written")
 
     selected_stats = compute_snippet_stats(
         pd.concat(selected, ignore_index=True), orcai_parameter["calls"]
@@ -401,7 +397,7 @@ def create_tvt_snippet_tables(
             )
         else:
             sample.to_csv(out_path, compression="gzip", index=False)
-            msgr.info("saved unfiltered test snippets to disk")
+            msgr.info("Unfiltered test snippet table written")
 
     msgr.success("All snippet tables created and saved to disk")
 
