@@ -15,13 +15,23 @@ Window geometry matches the reference exactly: stride = snippet_len // 2,
 output grid = T // 2**n_filters rows, window i writing output rows
 [i * shift_out, i * shift_out + out_len), average over overlap counts,
 binary threshold 0.5 / max(overlap_count) (predict.py:304-307).
+
+Multi-chip: pass a mesh and the window axis is sharded over its "data"
+axis — the spectrogram is replicated (small next to HBM), each device
+runs its shard of every window batch, and GSPMD reduces the scatter-add
+partial sums over ICI (SURVEY §5.7: windows are embarrassingly parallel
+along time). Outputs are bit-identical to the single-device path: each
+output row receives the same <= 2 window contributions.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from orcai_tpu.utils.jaxcache import enable_persistent_cache
 
@@ -46,16 +56,30 @@ class WindowPredictor:
         n_filters: int = 4,
         batch_size: int = 128,
         max_windows_per_chunk: int = 2048,
+        mesh=None,
     ):
         self.model = model
-        self.variables = jax.device_put(variables)
+        self.mesh = mesh if mesh is not None and mesh.shape["data"] > 1 else None
+        if self.mesh is not None:
+            self.n_dev = self.mesh.shape["data"]
+            self.variables = jax.device_put(
+                variables, NamedSharding(self.mesh, P())
+            )
+            # per-apply batch stays ~batch_size in total, sharded over "data"
+            self.batch_size = -(-batch_size // self.n_dev) * self.n_dev
+        else:
+            self.n_dev = 1
+            self.variables = jax.device_put(variables)
+            self.batch_size = batch_size
         self.snippet_len = snippet_len
         self.shift = snippet_len // 2
         self.down = 2**n_filters
         self.out_len = snippet_len // self.down
         self.shift_out = self.shift // self.down
-        self.batch_size = batch_size
-        self.max_windows_per_chunk = max_windows_per_chunk
+        self.max_windows_per_chunk = max(
+            self.batch_size,
+            max_windows_per_chunk // self.batch_size * self.batch_size,
+        )
         self._chunk_fns: dict[tuple, object] = {}
         self._pad_fns: dict[tuple, object] = {}
 
@@ -81,12 +105,23 @@ class WindowPredictor:
         defeat the persistent compilation cache.
         """
         model = self.model
+        mesh = self.mesh
         snippet_len, shift = self.snippet_len, self.shift
         out_len, shift_out = self.out_len, self.shift_out
         bsz = min(self.batch_size, wpc)
         n_out_chunk = (wpc - 1) * shift_out + out_len
 
-        @jax.jit
+        if mesh is not None:
+            repl = NamedSharding(mesh, P())
+            jit_kwargs = dict(
+                in_shardings=(repl, repl, repl, repl), out_shardings=repl
+            )
+            batch_sharding = NamedSharding(mesh, P(None, "data"))
+        else:
+            jit_kwargs = {}
+            batch_sharding = None
+
+        @partial(jax.jit, **jit_kwargs)
         def chunk_fn(
             variables, spec: jnp.ndarray, f0: jnp.ndarray, n_win_valid: jnp.ndarray
         ):
@@ -98,6 +133,11 @@ class WindowPredictor:
             windows = windows[..., None]  # (wpc, snippet, bins, 1)
 
             batches = windows.reshape(wpc // bsz, bsz, snippet_len, n_bins, 1)
+            if batch_sharding is not None:
+                # each lax.map step's batch axis spreads over the mesh
+                batches = jax.lax.with_sharding_constraint(
+                    batches, batch_sharding
+                )
             preds = jax.lax.map(
                 lambda xb: model.apply(variables, xb, train=False), batches
             )

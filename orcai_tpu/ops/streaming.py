@@ -1,0 +1,387 @@
+"""Two-pass streaming predict for recordings beyond the HBM budget.
+
+The in-memory predict path (ops/frontend.py + ops/overlap.py) keeps the
+whole normalized spectrogram in HBM; a multi-day recording does not fit
+(24 h at 48 kHz -> ~16.6 M frames -> ~11 GB of f32 spectrogram, plus the
+audio). The reference has the same problem, unbounded host RAM instead
+(predict.py:256-261). This module bounds device memory to O(tile):
+
+pass 1 (stats): the recording's spectrogram statistics — the global dB
+  reference (max |S| over the full spectrum) and the two nearest-method
+  percentiles of the cropped dB values — are computed over fixed-size
+  magnitude tiles. The percentiles are EXACT: dB is a monotone function of
+  |S|, so the k-th smallest cropped dB equals the transform of the k-th
+  smallest cropped |S|, and that order statistic is found by radix
+  selection on the IEEE-754 bit patterns (non-negative f32 bits are
+  monotone as u32): three histogram sweeps over 11/11/10-bit digits narrow
+  the key exactly.
+
+pass 2 (inference): per window-chunk, the audio tile is re-framed, DFT'd,
+  normalized with the pass-1 stats, pushed through the model and
+  scatter-added — reusing WindowPredictor's compiled chunk body — into the
+  tiny global output grid held on host.
+
+Audio residency: when the (int16) audio fits the HBM audio budget it is
+uploaded once into a padded device buffer (chunked .at[].set with donation,
+no host re-reads per sweep); otherwise each tile is sliced host-side from
+the memory-mapped wav and uploaded per sweep.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orcai_tpu.ops.frontend import (
+    _AMIN,
+    _TOP_DB,
+    _dft_mats,
+    fft_frequencies,
+    freq_crop_indices,
+    nearest_quantile_index,
+)
+from orcai_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
+
+# radix-selection digit plan over the 32 bits of a non-negative f32 key
+_LEVELS = (
+    (21, 0xFFFFFFFF, 11),  # level 0: bins = key >> 21          (2048 bins)
+    (10, 0x7FF, 11),       # level 1: bins = (key >> 10) & 0x7FF (2048 bins)
+    (0, 0x3FF, 10),        # level 2: bins = key & 0x3FF         (1024 bins)
+)
+
+
+def _mag_tile(audio_tile, C, S, n_fft: int, hop: int, tpad: int):
+    """Framed windowed rDFT magnitudes for one audio tile (tpad frames)."""
+    if audio_tile.dtype == jnp.int16:
+        audio_tile = audio_tile.astype(jnp.float32) * (1.0 / 32768.0)
+    k = n_fft // hop
+    x2 = audio_tile.reshape(-1, hop)
+    frames = jnp.concatenate([x2[i : i + tpad] for i in range(k)], axis=1)
+    re = jnp.dot(frames, C, precision=jax.lax.Precision.HIGHEST)
+    im = jnp.dot(frames, S, precision=jax.lax.Precision.HIGHEST)
+    return jnp.sqrt(re * re + im * im)  # (tpad, n_bins)
+
+
+@lru_cache(maxsize=None)
+def _build_stats_fns(n_fft: int, hop: int, lo_idx: int, hi_idx: int, tpad: int):
+    """(level0_fn, refine_fn_by_level) for stats tiles of tpad frames."""
+    C_dev, S_dev = map(jnp.asarray, _dft_mats(n_fft))
+
+    @jax.jit
+    def level0_fn(audio_tile, n_valid, C, S):
+        mag = _mag_tile(audio_tile, C, S, n_fft, hop, tpad)
+        valid = (jnp.arange(tpad) < n_valid)[:, None]
+        tile_max = jnp.max(jnp.where(valid, mag, -jnp.inf))
+        crop = mag[:, lo_idx:hi_idx]
+        keys = jax.lax.bitcast_convert_type(crop, jnp.uint32)
+        bins = (keys >> 21).astype(jnp.int32)
+        w = jnp.where(valid, 1, 0).astype(jnp.int32) * jnp.ones(
+            crop.shape, jnp.int32
+        )
+        hist = jnp.zeros((2048,), jnp.int32).at[bins.ravel()].add(w.ravel())
+        return hist, tile_max
+
+    def _build_refine(level: int):
+        bin_shift, bin_mask, _ = _LEVELS[level]
+        prefix_shift = _LEVELS[level - 1][0]
+        nbins = 1 << _LEVELS[level][2]
+
+        @jax.jit
+        def refine_fn(audio_tile, n_valid, prefix_lo, prefix_hi, C, S):
+            mag = _mag_tile(audio_tile, C, S, n_fft, hop, tpad)
+            valid = (jnp.arange(tpad) < n_valid)[:, None]
+            crop = mag[:, lo_idx:hi_idx]
+            keys = jax.lax.bitcast_convert_type(crop, jnp.uint32)
+            prefix = keys >> prefix_shift
+            bins = ((keys >> bin_shift) & bin_mask).astype(jnp.int32).ravel()
+            base = jnp.where(valid, 1, 0).astype(jnp.int32) * jnp.ones(
+                crop.shape, jnp.int32
+            )
+
+            def hist_for(p):
+                w = jnp.where(prefix == p, base, 0)
+                return jnp.zeros((nbins,), jnp.int32).at[bins].add(w.ravel())
+
+            return hist_for(prefix_lo), hist_for(prefix_hi)
+
+        return refine_fn
+
+    refine_fns = {1: _build_refine(1), 2: _build_refine(2)}
+
+    def level0(audio_tile, n_valid):
+        return level0_fn(audio_tile, n_valid, C_dev, S_dev)
+
+    def refine(level, audio_tile, n_valid, p_lo, p_hi):
+        return refine_fns[level](
+            audio_tile,
+            n_valid,
+            jnp.asarray(p_lo, jnp.uint32),
+            jnp.asarray(p_hi, jnp.uint32),
+            C_dev,
+            S_dev,
+        )
+
+    return level0, refine
+
+
+@lru_cache(maxsize=None)
+def _build_norm_fn(n_fft: int, hop: int, lo_idx: int, hi_idx: int, tpad: int):
+    """jit'd (audio_tile, ref_db, lo_db, hi_db) -> normalized spec tile."""
+    C_dev, S_dev = map(jnp.asarray, _dft_mats(n_fft))
+
+    @jax.jit
+    def norm_fn(audio_tile, ref_db, lo_db, hi_db, C, S):
+        mag = _mag_tile(audio_tile, C, S, n_fft, hop, tpad)
+        db = 20.0 * jnp.log10(jnp.maximum(mag, _AMIN)) - ref_db
+        db = jnp.maximum(db, -_TOP_DB)
+        dbc = db[:, lo_idx:hi_idx]
+        out = (jnp.clip(dbc, lo_db, hi_db) - lo_db) / (hi_db - lo_db)
+        return jnp.clip(out, 0.0, 1.0).astype(jnp.float32)
+
+    return lambda audio_tile, ref_db, lo_db, hi_db: norm_fn(
+        audio_tile, ref_db, lo_db, hi_db, C_dev, S_dev
+    )
+
+
+class _AudioSource:
+    """Fixed-size audio tiles for frame ranges, from HBM or host memory.
+
+    Frame t covers samples [t*hop - n_fft//2, t*hop + n_fft//2) of the
+    recording (librosa center=True, zero padding); a tile of `tpad` frames
+    starting at frame t0 is the contiguous sample span of that frame range.
+    """
+
+    def __init__(self, audio: np.ndarray, n_fft: int, hop: int,
+                 hbm_budget_bytes: int, max_tile_frames: int):
+        self.audio = audio
+        self.n = int(audio.shape[0])
+        self.n_fft = n_fft
+        self.hop = hop
+        self.offset = n_fft // 2  # global zero pad before sample 0
+        # tail margin covers the worst tile overrun past the last frame, so
+        # device tile slices never clamp (clamping would shift alignment)
+        self.max_tile_samples = (max_tile_frames - 1) * hop + n_fft
+        self._dev = None
+        self._slice_fns: dict[int, object] = {}
+        if audio.nbytes <= hbm_budget_bytes:
+            self._upload(audio)
+
+    def _upload(self, audio: np.ndarray) -> None:
+        """One padded HBM copy, streamed up in bounded chunks with donation."""
+        total = self.offset + self.n + self.max_tile_samples
+        dtype = jnp.int16 if audio.dtype == np.int16 else jnp.float32
+        if audio.dtype not in (np.int16, np.float32):
+            audio = audio.astype(np.float32)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def write(buf, chunk, at):
+            return jax.lax.dynamic_update_slice(buf, chunk, (at,))
+
+        buf = jnp.zeros((total,), dtype)
+        step = 64 * 1024 * 1024  # samples per upload chunk
+        for start in range(0, self.n, step):
+            chunk = np.ascontiguousarray(audio[start : start + step])
+            buf = write(buf, jnp.asarray(chunk),
+                        jnp.asarray(self.offset + start, jnp.int32))
+        self._dev = jax.block_until_ready(buf)
+
+    def tile_samples(self, tpad: int) -> int:
+        return (tpad - 1) * self.hop + self.n_fft
+
+    def tile(self, t0: int, tpad: int):
+        """Device array of tile_samples(tpad) samples for frames [t0, t0+tpad)."""
+        length = self.tile_samples(tpad)
+        a0 = t0 * self.hop  # start in the padded stream (offset included)
+        if self._dev is not None:
+            if length not in self._slice_fns:
+
+                @jax.jit
+                def slice_fn(buf, at):
+                    return jax.lax.dynamic_slice(buf, (at,), (length,))
+
+                self._slice_fns[length] = slice_fn
+            return self._slice_fns[length](self._dev, jnp.asarray(a0, jnp.int32))
+        # host path: slice the (memory-mapped) audio with explicit padding
+        s0 = a0 - self.offset
+        s1 = s0 + length
+        out = np.zeros((length,), self.audio.dtype)
+        lo, hi = max(0, s0), min(self.n, s1)
+        if hi > lo:
+            out[lo - s0 : hi - s0] = self.audio[lo:hi]
+        return jnp.asarray(out)
+
+
+class StreamingPredictor:
+    """Two-pass bounded-HBM aggregate over a WindowPredictor."""
+
+    def __init__(
+        self,
+        predictor,
+        spectrogram_parameter: dict,
+        windows_per_chunk: int = 512,
+        stats_tile_frames: int = 1 << 18,
+        hbm_audio_budget: int | None = None,
+    ):
+        self.wp = predictor
+        sp = spectrogram_parameter
+        self.sr = sp["sampling_rate"]
+        self.n_fft = sp["nfft"]
+        self.hop = sp["n_overlap"]  # reference schema: key holds hop length
+        self.freq_range = sp["freq_range"]
+        self.quantiles = sp["quantiles"]
+        frequencies = fft_frequencies(self.sr, self.n_fft)
+        self.lo_idx, self.hi_idx = freq_crop_indices(frequencies, self.freq_range)
+        # chunk geometry must match the WindowPredictor's compiled body
+        self.wpc = max(
+            self.wp.batch_size,
+            windows_per_chunk // self.wp.batch_size * self.wp.batch_size,
+        )
+        self.stats_tile_frames = stats_tile_frames
+        self.hbm_audio_budget = (
+            hbm_audio_budget
+            if hbm_audio_budget is not None
+            else int(os.environ.get("ORCAI_TPU_HBM_AUDIO_BYTES", 8_000_000_000))
+        )
+
+    # -- pass 1 ------------------------------------------------------------
+
+    def _select_percentiles(self, source: _AudioSource, n_frames: int):
+        """(ref_mag, lo_mag, hi_mag): exact global max + order statistics."""
+        tpad = self.stats_tile_frames
+        level0, refine = _build_stats_fns(
+            self.n_fft, self.hop, self.lo_idx, self.hi_idx, tpad
+        )
+        tiles = [
+            (t0, min(tpad, n_frames - t0)) for t0 in range(0, n_frames, tpad)
+        ]
+
+        hist = np.zeros((2048,), np.int64)
+        ref = -np.inf
+        for t0, n_valid in tiles:
+            h, m = level0(source.tile(t0, tpad), jnp.asarray(n_valid, jnp.int32))
+            hist += np.asarray(h, np.int64)
+            ref = max(ref, float(m))
+
+        n_values = n_frames * (self.hi_idx - self.lo_idx)
+        targets = [
+            nearest_quantile_index(float(q), n_values) for q in self.quantiles
+        ]
+
+        def pick(h, k):
+            cum = np.cumsum(h)
+            b = int(np.searchsorted(cum, k + 1))
+            return b, int(k - (cum[b - 1] if b else 0))
+
+        # level 0 digests
+        state = []
+        for k in targets:
+            b, k_rem = pick(hist, k)
+            state.append((np.uint32(b), k_rem))  # prefix = top-11-bit digit
+
+        for level in (1, 2):
+            hist_lo = np.zeros((1 << _LEVELS[level][2],), np.int64)
+            hist_hi = np.zeros_like(hist_lo)
+            for t0, n_valid in tiles:
+                h_lo, h_hi = refine(
+                    level,
+                    source.tile(t0, tpad),
+                    jnp.asarray(n_valid, jnp.int32),
+                    state[0][0],
+                    state[1][0],
+                )
+                hist_lo += np.asarray(h_lo, np.int64)
+                hist_hi += np.asarray(h_hi, np.int64)
+            new_state = []
+            for (prefix, k_rem), h in zip(state, (hist_lo, hist_hi)):
+                b, k_next = pick(h, k_rem)
+                new_state.append(
+                    (np.uint32((int(prefix) << _LEVELS[level][2]) | b), k_next)
+                )
+            state = new_state
+
+        lo_mag, hi_mag = (
+            np.uint32(state[0][0]).view(np.float32),
+            np.uint32(state[1][0]).view(np.float32),
+        )
+        return float(ref), float(lo_mag), float(hi_mag)
+
+    @staticmethod
+    def _to_db(mag: float, ref: float) -> float:
+        db = 20.0 * np.log10(max(mag, _AMIN)) - 20.0 * np.log10(max(ref, _AMIN))
+        return float(max(db, -_TOP_DB))
+
+    # -- pass 2 ------------------------------------------------------------
+
+    def aggregate(self, audio: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(aggregated (T//down, L), overlap_count), streaming both passes."""
+        wp = self.wp
+        audio = np.asarray(audio) if not isinstance(audio, np.memmap) else audio
+        n = int(audio.shape[0])
+        n_frames = 1 + n // self.hop
+        if n_frames < wp.snippet_len:
+            raise ValueError(
+                f"Recording too short for prediction: {n_frames} spectrogram "
+                f"frames < snippet length {wp.snippet_len}"
+            )
+        max_tile_frames = max(
+            self.stats_tile_frames, (self.wpc + 1) * wp.shift
+        )
+        source = _AudioSource(
+            audio, self.n_fft, self.hop, self.hbm_audio_budget, max_tile_frames
+        )
+
+        ref, lo_mag, hi_mag = self._select_percentiles(source, n_frames)
+        ref_db20 = 20.0 * np.log10(max(ref, _AMIN))
+        lo_db = self._to_db(lo_mag, ref)
+        hi_db = self._to_db(hi_mag, ref)
+
+        n_win = (n_frames - wp.snippet_len) // wp.shift + 1
+        n_out_total = n_frames // wp.down
+        wpc = self.wpc
+        tile_frames = (wpc + 1) * wp.shift
+        n_bins = self.hi_idx - self.lo_idx
+
+        norm_fn = _build_norm_fn(
+            self.n_fft, self.hop, self.lo_idx, self.hi_idx, tile_frames
+        )
+        key = (tile_frames, n_bins, wpc)
+        if key not in wp._chunk_fns:
+            wp._chunk_fns[key] = wp._build_chunk_fn(tile_frames, n_bins, wpc)
+        chunk_fn = wp._chunk_fns[key]
+
+        agg = np.zeros((n_out_total, 0), np.float32)
+        count = np.zeros((n_out_total,), np.float32)
+        initialized = False
+        for w0 in range(0, n_win, wpc):
+            n_valid = min(wpc, n_win - w0)
+            spec_tile = norm_fn(
+                source.tile(w0 * wp.shift, tile_frames),
+                jnp.asarray(ref_db20, jnp.float32),
+                jnp.asarray(lo_db, jnp.float32),
+                jnp.asarray(hi_db, jnp.float32),
+            )
+            prob_sum, cnt = chunk_fn(
+                wp.variables,
+                spec_tile,
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(n_valid, jnp.int32),
+            )
+            prob_sum = np.asarray(prob_sum)
+            cnt = np.asarray(cnt)
+            if not initialized:
+                agg = np.zeros((n_out_total, prob_sum.shape[-1]), np.float32)
+                initialized = True
+            o0 = w0 * wp.shift_out
+            o1 = min(o0 + prob_sum.shape[0], n_out_total)
+            agg[o0:o1] += prob_sum[: o1 - o0]
+            count[o0:o1] += cnt[: o1 - o0]
+
+        valid = count > 0
+        agg[valid] /= count[valid, None]
+        return agg, count

@@ -182,21 +182,53 @@ def predict_wav(
     )
     if multichannel:
         msgr.warning(f"Multiple channels found, using channel {channel}")
-    spec_dev, n_frames, _, times = make_spectrogram_from_params_device(audio, sp)
-    delta_t = float(times[1] - times[0])
-    if spec_dev.shape[1] != shape["input_shape"][1]:
-        raise ValueError(
-            f"Spectrogram shape ({spec_dev.shape[1]}) for "
-            f"{recording_path.stem} not equal to input shape "
-            f"({shape['input_shape'][1]})"
-        )
+    delta_t = sp["n_overlap"] / sp["sampling_rate"]  # hop / sr
+
+    # recordings whose spectrogram exceeds the HBM budget take the two-pass
+    # streaming path (ops/streaming.py): bounded device memory, same outputs
+    import os
+
+    n_frames_est = 1 + audio.shape[-1] // sp["n_overlap"]
+    n_bins_est = shape["input_shape"][1]
+    spec_budget = int(
+        os.environ.get("ORCAI_TPU_STREAM_SPEC_BYTES", 4_000_000_000)
+    )
+    stream = 2 * n_frames_est * n_bins_est * 4 > spec_budget
 
     msgr.part(f"Prediction of annotations for wav_file: {recording_path.stem}")
     if progressbar:
         progressbar.set_description(f"{recording_path.stem} - Predicting annotations")
         progressbar.refresh()
 
-    aggregated, overlap_count = predictor.aggregate(spec_dev, n_frames=n_frames)
+    if stream:
+        from orcai_tpu.ops.streaming import StreamingPredictor
+
+        msgr.info(
+            f"Recording of {n_frames_est} frames exceeds the spectrogram HBM "
+            "budget: two-pass streaming inference"
+        )
+        streaming = StreamingPredictor(predictor, sp)
+        if streaming.hi_idx - streaming.lo_idx != shape["input_shape"][1]:
+            raise ValueError(
+                f"Spectrogram shape ({streaming.hi_idx - streaming.lo_idx}) "
+                f"for {recording_path.stem} not equal to input shape "
+                f"({shape['input_shape'][1]})"
+            )
+        aggregated, overlap_count = streaming.aggregate(audio)
+    else:
+        spec_dev, n_frames, _, times = make_spectrogram_from_params_device(
+            audio, sp
+        )
+        delta_t = float(times[1] - times[0])
+        if spec_dev.shape[1] != shape["input_shape"][1]:
+            raise ValueError(
+                f"Spectrogram shape ({spec_dev.shape[1]}) for "
+                f"{recording_path.stem} not equal to input shape "
+                f"({shape['input_shape'][1]})"
+            )
+        aggregated, overlap_count = predictor.aggregate(
+            spec_dev, n_frames=n_frames
+        )
     binary = predictor.binary_predictions(aggregated, overlap_count, threshold=0.5)
 
     msgr.info("converting binary predictions into start and stop frames")
@@ -349,12 +381,24 @@ def predict(
     msgr.part(f"Loading model: {model_dir.stem}")
 
     model, variables, orcai_parameter, shape = load_orcai_model(model_dir)
+
+    # shard inference windows over all visible chips (SURVEY §5.7); a single
+    # chip keeps the annotation-free fast path
+    import jax
+
+    from orcai_tpu.parallel.mesh import make_mesh
+
+    n_devices = len(jax.devices())
+    mesh = make_mesh(n_data=n_devices) if n_devices > 1 else None
+    if mesh is not None:
+        msgr.info(f"Sharding inference windows over {n_devices} devices")
     predictor = WindowPredictor(
         model,
         variables,
         snippet_len=shape["input_shape"][0],
         n_filters=len(orcai_parameter["model"]["filters"]),
         batch_size=predict_batch_size,
+        mesh=mesh,
     )
 
     if recording_path.suffix == ".wav":

@@ -72,6 +72,34 @@ def test_window_predictor_matches_reference_algorithm():
         np.testing.assert_array_equal(binary, exp_binary)
 
 
+def test_window_predictor_sharded_matches_single_device():
+    """Window-axis sharding over the virtual 8-device mesh reproduces the
+    single-device outputs (and therefore the same TSV downstream)."""
+    from orcai_tpu.parallel.mesh import make_mesh
+
+    model, variables = _model_and_vars()
+    mesh = make_mesh(n_data=len(jax.devices()))
+    rng = np.random.default_rng(3)
+    for t in [200, 1024]:
+        spec = rng.uniform(size=(t, NBINS)).astype(np.float32)
+        single = WindowPredictor(
+            model, variables, snippet_len=SNIPPET, n_filters=NFILT,
+            batch_size=4, max_windows_per_chunk=16,
+        )
+        sharded = WindowPredictor(
+            model, variables, snippet_len=SNIPPET, n_filters=NFILT,
+            batch_size=4, max_windows_per_chunk=16, mesh=mesh,
+        )
+        agg0, cnt0 = single.aggregate(spec)
+        agg1, cnt1 = sharded.aggregate(spec)
+        np.testing.assert_array_equal(cnt0, cnt1)
+        np.testing.assert_allclose(agg1, agg0, atol=1e-6)
+        np.testing.assert_array_equal(
+            sharded.binary_predictions(agg1, cnt1),
+            single.binary_predictions(agg0, cnt0),
+        )
+
+
 def test_too_short_raises():
     model, variables = _model_and_vars()
     wp = WindowPredictor(model, variables, snippet_len=SNIPPET, n_filters=NFILT)

@@ -1,0 +1,106 @@
+"""Two-pass streaming predict == in-memory predict on short recordings.
+
+Exercises ops/streaming.py with tiny tiles so every code path runs (tile
+masking, radix percentile selection across tiles, chunk boundaries, HBM
+audio buffer vs host-sliced tiles).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from orcai_tpu.models import build_model
+from orcai_tpu.ops.frontend import compute_spectrogram
+from orcai_tpu.ops.overlap import WindowPredictor
+from orcai_tpu.ops.streaming import StreamingPredictor
+
+PARAM = {
+    "name": "tiny",
+    "architecture": "ResNetLSTM",
+    "model": {
+        "filters": [4, 6, 8, 10],
+        "kernel_size": 3,
+        "dropout_rate": 0.5,
+        "lstm_units": 8,
+    },
+    "calls": ["A", "B", "C"],
+}
+SNIPPET, NFILT = 64, 4
+SP = {
+    "sampling_rate": 4800,
+    "nfft": 48,
+    "n_overlap": 24,  # reference schema: hop length
+    "freq_range": [0, 2100],  # -> 21 cropped bins
+    "quantiles": [0.01, 0.999],
+}
+NBINS = 21
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = build_model(PARAM)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, SNIPPET, NBINS, 1)))
+    return model, variables
+
+
+def _predictor(model, variables):
+    return WindowPredictor(
+        model, variables, snippet_len=SNIPPET, n_filters=NFILT,
+        batch_size=4, max_windows_per_chunk=16,
+    )
+
+
+def _in_memory(model, variables, audio):
+    spec, _, _ = compute_spectrogram(
+        audio, SP["sampling_rate"], SP["nfft"], SP["n_overlap"],
+        SP["freq_range"], SP["quantiles"],
+    )
+    assert spec.shape[1] == NBINS
+    return _predictor(model, variables).aggregate(spec)
+
+
+@pytest.mark.parametrize("hbm_audio_budget", [1 << 40, 0])
+def test_streaming_matches_in_memory(model_and_vars, hbm_audio_budget):
+    model, variables = model_and_vars
+    rng = np.random.default_rng(0)
+    n = 24_000  # 1001 frames, 29 windows
+    audio = (rng.uniform(-1, 1, size=n) * 0.5).astype(np.float32)
+
+    agg0, cnt0 = _in_memory(model, variables, audio)
+
+    streaming = StreamingPredictor(
+        _predictor(model, variables), SP,
+        windows_per_chunk=8,
+        stats_tile_frames=128,  # forces many stats tiles + masked tail
+        hbm_audio_budget=hbm_audio_budget,
+    )
+    agg1, cnt1 = streaming.aggregate(audio)
+
+    assert agg1.shape == agg0.shape
+    np.testing.assert_array_equal(cnt1, cnt0)
+    np.testing.assert_allclose(agg1, agg0, atol=1e-5)
+
+
+def test_streaming_int16_audio(model_and_vars):
+    model, variables = model_and_vars
+    rng = np.random.default_rng(1)
+    n = 24_000
+    pcm = (rng.uniform(-0.5, 0.5, size=n) * 32767).astype(np.int16)
+
+    agg0, cnt0 = _in_memory(model, variables, pcm.astype(np.float32) / 32768.0)
+
+    streaming = StreamingPredictor(
+        _predictor(model, variables), SP,
+        windows_per_chunk=8, stats_tile_frames=256,
+    )
+    agg1, cnt1 = streaming.aggregate(pcm)
+    np.testing.assert_array_equal(cnt1, cnt0)
+    np.testing.assert_allclose(agg1, agg0, atol=1e-5)
+
+
+def test_streaming_too_short_raises(model_and_vars):
+    model, variables = model_and_vars
+    streaming = StreamingPredictor(_predictor(model, variables), SP)
+    with pytest.raises(ValueError, match="too short"):
+        streaming.aggregate(np.zeros(SNIPPET, np.float32))
