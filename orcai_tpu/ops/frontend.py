@@ -261,6 +261,29 @@ def compute_spectrogram(
     return spec, frequencies, times
 
 
+def preprocess_db_spectrogram_numpy(
+    spec_db: np.ndarray, frequencies: np.ndarray, spectrogram_parameter: dict
+) -> np.ndarray:
+    """Host-side frequency crop + percentile clip + min-max normalize.
+
+    Numpy mirror of the device chain's post-dB stage, with the same numerics
+    as the reference's preprocess_spectrogram (spectrogram.py:58-87): crop
+    rows to freq_range via the argwhere bounds, clip to global nearest-method
+    percentiles, normalize to [0, 1], transpose to (time, bins). Used for
+    cross-checks against dB spectrograms produced elsewhere.
+    """
+    lo_idx, hi_idx = freq_crop_indices(
+        frequencies, spectrogram_parameter["freq_range"]
+    )
+    s = np.asarray(spec_db)[lo_idx:hi_idx, :]
+    q_lo, q_hi = spectrogram_parameter["quantiles"]
+    lo = np.percentile(s, 100.0 * q_lo, method="nearest")
+    hi = np.percentile(s, 100.0 * q_hi, method="nearest")
+    s = np.clip(s, lo, hi)
+    mn, mx = np.min(s), np.max(s)
+    return ((s - mn) / (mx - mn)).T
+
+
 def make_spectrogram_from_params(
     audio: np.ndarray, spectrogram_parameter: dict, precision: str = "highest"
 ):

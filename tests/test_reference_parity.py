@@ -1,0 +1,281 @@
+"""Parity against the ACTUAL reference implementation (not transcriptions).
+
+These tests import the upstream orcAI package from /root/reference/src and
+use it strictly as a numerical oracle: the reference's own Keras graph
+builders (architectures.py:18-241), masked loss/metrics
+(architectures.py:244-304), and run-length decoder (auxiliary.py:420-440)
+are executed and their outputs compared against this package's flax/jax
+equivalents. Everything is skipped when the reference checkout or
+keras/tensorflow are unavailable, so the suite stays self-contained
+elsewhere.
+
+The reference's librosa-based audio loading cannot run here (librosa is not
+installed and the environment has no package egress); resampler parity is
+covered separately in test_resample_parity.py against a scipy oracle.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+keras = pytest.importorskip("keras")
+tf = pytest.importorskip("tensorflow")
+
+import jax.numpy as jnp  # noqa: E402
+
+REFERENCE_SRC = Path("/root/reference/src")
+
+if not (REFERENCE_SRC / "orcAI").is_dir():  # pragma: no cover
+    pytest.skip("reference checkout not available", allow_module_level=True)
+
+if str(REFERENCE_SRC) not in sys.path:
+    sys.path.insert(0, str(REFERENCE_SRC))
+
+ref_arch = pytest.importorskip("orcAI.architectures")
+ref_aux = pytest.importorskip("orcAI.auxiliary")
+
+from orcai_tpu.io.keras_convert import keras_to_flax_variables  # noqa: E402
+from orcai_tpu.models import build_model  # noqa: E402
+from orcai_tpu.ops.losses import (  # noqa: E402
+    masked_auc_roc,
+    masked_bce_from_probs,
+    masked_binary_accuracy,
+)
+from orcai_tpu.utils import rle, seeds  # noqa: E402
+
+SMALL_PARAM = {
+    "name": "tiny-ref",
+    "architecture": "ResNetLSTM",
+    "model": {
+        "filters": [4, 6, 8, 10],
+        "kernel_size": 3,
+        "dropout_rate": 0.5,
+        "lstm_units": 16,
+    },
+    "calls": ["A", "B", "C"],
+}
+INPUT_SHAPE = (64, 21, 1)
+
+
+def _rand_batch(batch=2, shape=INPUT_SHAPE, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(batch, *shape)).astype(np.float32)
+
+
+def _masked_labels(shape, seed=0, mask_frac=0.25):
+    """Random 0/1 labels with a fraction of positions set to MASK_VALUE."""
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 2, size=shape).astype(np.float32)
+    mask = rng.uniform(size=shape) < mask_frac
+    y[mask] = ref_aux.MASK_VALUE
+    return y
+
+
+# -- model graphs -----------------------------------------------------------
+
+
+def test_reference_lstm_forward_parity():
+    """Weights from the reference's own res_net_LSTM_arch graph, loaded into
+    our flax ResNetLSTM, produce the same inference output."""
+    keras.utils.set_random_seed(42)
+    ref_model = ref_arch.res_net_LSTM_arch(
+        INPUT_SHAPE, len(SMALL_PARAM["calls"]), **SMALL_PARAM["model"]
+    )
+    x = _rand_batch(seed=1)
+    y_ref = ref_model.predict(x, verbose=0)
+
+    variables = keras_to_flax_variables(ref_model, SMALL_PARAM)
+    y_ours = build_model(SMALL_PARAM).apply(variables, jnp.asarray(x), train=False)
+
+    assert y_ref.shape == y_ours.shape == (2, 4, 3)
+    np.testing.assert_allclose(np.asarray(y_ours), y_ref, atol=2e-5)
+
+
+def test_reference_1dconv_forward_parity():
+    param = dict(SMALL_PARAM, architecture="ResNet1DConv")
+    keras.utils.set_random_seed(7)
+    ref_model = ref_arch.res_net_1Dconv_arch(
+        INPUT_SHAPE, len(param["calls"]), **param["model"]
+    )
+    x = _rand_batch(seed=2)
+    y_ref = ref_model.predict(x, verbose=0)
+
+    variables = keras_to_flax_variables(ref_model, param)
+    y_ours = build_model(param).apply(variables, jnp.asarray(x), train=False)
+
+    assert y_ref.shape == y_ours.shape == (2, 4, 3)
+    np.testing.assert_allclose(np.asarray(y_ours), y_ref, atol=2e-5)
+
+
+def test_reference_build_model_dispatch_and_param_count():
+    """build_model dispatch matches: same architectures exposed, and the
+    parameter counts of the built models agree exactly."""
+    assert set(ref_arch.ORCAI_ARCHITECTURES_FN) == {"ResNetLSTM", "ResNet1DConv"}
+
+    for arch in ref_arch.ORCAI_ARCHITECTURES_FN:
+        param = dict(SMALL_PARAM, architecture=arch)
+        keras.utils.set_random_seed(0)
+        ref_model = ref_arch.build_model(
+            INPUT_SHAPE, {**param, "model": dict(param["model"])}
+        )
+        n_ref = int(
+            sum(np.prod(w.shape) for w in ref_model.weights if w.trainable)
+        )
+        ours = build_model(param)
+        variables = ours.init(jax.random.key(0), jnp.zeros((1, *INPUT_SHAPE)))
+        n_ours = int(
+            sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
+        )
+        assert n_ours == n_ref, f"{arch}: {n_ours} != {n_ref}"
+
+
+# -- losses / metrics ---------------------------------------------------------
+
+
+def test_masked_bce_parity():
+    shape = (4, 8, 5)
+    y_true = _masked_labels(shape, seed=3)
+    probs = np.random.default_rng(4).uniform(0.01, 0.99, size=shape).astype(
+        np.float32
+    )
+
+    ref_loss = float(
+        ref_arch.MaskedBinaryCrossentropy()(
+            tf.constant(y_true), tf.constant(probs)
+        )
+    )
+    our_loss = float(masked_bce_from_probs(jnp.asarray(probs), jnp.asarray(y_true)))
+    assert our_loss == pytest.approx(ref_loss, rel=1e-5)
+
+
+def test_masked_binary_accuracy_parity():
+    shape = (4, 8, 5)
+    y_true = _masked_labels(shape, seed=5)
+    probs = np.random.default_rng(6).uniform(0.0, 1.0, size=shape).astype(np.float32)
+
+    metric = ref_arch.MaskedBinaryAccuracy()
+    metric.update_state(tf.constant(y_true), tf.constant(probs))
+    ref_acc = float(metric.result())
+    our_acc = float(
+        masked_binary_accuracy(jnp.asarray(probs), jnp.asarray(y_true))
+    )
+    assert our_acc == pytest.approx(ref_acc, rel=1e-6)
+
+
+def test_masked_auc_parity():
+    shape = (16, 8, 5)
+    rng = np.random.default_rng(7)
+    y_true = _masked_labels(shape, seed=8)
+    # correlated probabilities so the AUC is informative, not ~0.5
+    noise = rng.normal(scale=0.35, size=shape)
+    probs = np.clip(np.where(y_true == 1.0, 0.7, 0.3) + noise, 0.0, 1.0).astype(
+        np.float32
+    )
+
+    metric = ref_arch.MaskedAUC()
+    metric.update_state(tf.constant(y_true), tf.constant(probs))
+    ref_auc = float(metric.result())
+    our_auc = float(masked_auc_roc(jnp.asarray(probs), jnp.asarray(y_true)))
+    # both are threshold-bucketed approximations (200 thresholds); they use
+    # different interpolation so exact equality is not expected
+    assert our_auc == pytest.approx(ref_auc, abs=0.01)
+
+
+# -- auxiliary ----------------------------------------------------------------
+
+
+def test_find_consecutive_ones_parity():
+    rng = np.random.default_rng(9)
+    for n in (1, 2, 17, 500):
+        for p in (0.1, 0.5, 0.9):
+            v = (rng.uniform(size=n) < p).astype(np.int64)
+            ref_starts, ref_stops = ref_aux.find_consecutive_ones(v)
+            our_starts, our_stops = rle.find_consecutive_ones(v)
+            np.testing.assert_array_equal(our_starts, ref_starts)
+            np.testing.assert_array_equal(our_stops, ref_stops)
+    for edge in ([0], [1], [1, 1, 1], [0, 0], [1, 0, 1]):
+        v = np.asarray(edge)
+        np.testing.assert_array_equal(
+            np.stack(rle.find_consecutive_ones(v)),
+            np.stack(ref_aux.find_consecutive_ones(v)),
+        )
+
+
+def test_seed_registry_parity():
+    assert seeds.SEED_ID_MAKE_SNIPPET_TABLE == ref_aux.SEED_ID_MAKE_SNIPPET_TABLE
+    assert seeds.SEED_ID_FILTER_SNIPPET_TABLE == ref_aux.SEED_ID_FILTER_SNIPPET_TABLE
+    assert seeds.SEED_ID_CREATE_DATALOADER == ref_aux.SEED_ID_CREATE_DATALOADER
+    assert seeds.SEED_ID_LOAD_TRAIN_DATA == ref_aux.SEED_ID_LOAD_TRAIN_DATA
+    assert seeds.SEED_ID_LOAD_VAL_DATA == ref_aux.SEED_ID_LOAD_VAL_DATA
+    assert seeds.SEED_ID_LOAD_TEST_DATA == ref_aux.SEED_ID_LOAD_TEST_DATA
+    assert seeds.MASK_VALUE == ref_aux.MASK_VALUE
+
+
+def test_filter_filepaths_parity():
+    paths = [f"/rec/{tag}_{i}.wav" for i in range(4) for tag in ("keep", "drop")]
+    ours = rle.filter_filepaths(list(paths), ["drop", "_3"])
+    theirs = ref_aux.filter_filepaths(
+        list(paths), ["drop", "_3"], msgr=ref_aux.Messenger(verbosity=0)
+    )
+    assert ours == theirs
+
+
+# -- spectrogram post-processing ----------------------------------------------
+
+
+def _import_reference_spectrogram():
+    """Import orcAI.spectrogram with its unavailable deps stubbed.
+
+    The module imports librosa and (via orcAI.io) zarr at module scope, but
+    preprocess_spectrogram itself is pure numpy — stub the missing modules
+    just enough for the import so the real function can serve as the oracle.
+    """
+    import types
+
+    for name, attrs in {
+        "librosa": ["amplitude_to_db", "fft_frequencies", "frames_to_time",
+                    "load", "stft"],
+        "zarr": ["open", "save_array"],
+    }.items():
+        if name not in sys.modules:
+            try:
+                __import__(name)
+                continue
+            except ImportError:
+                pass
+            stub = types.ModuleType(name)
+            for attr in attrs:
+                setattr(stub, attr, None)
+            sys.modules[name] = stub
+    import orcAI.spectrogram as ref_spec
+
+    return ref_spec
+
+
+def test_preprocess_spectrogram_parity():
+    """Our frontend's freq-slice + percentile-clip + normalize chain matches
+    the reference's preprocess_spectrogram (spectrogram.py:58-87) exactly."""
+    ref_spec = _import_reference_spectrogram()
+
+    from orcai_tpu.ops.frontend import preprocess_db_spectrogram_numpy
+
+    rng = np.random.default_rng(11)
+    sr, nfft = 48000, 512
+    spec_db = rng.uniform(-80.0, 0.0, size=(nfft // 2 + 1, 300))
+    frequencies = np.fft.rfftfreq(nfft, d=1.0 / sr)
+    parameter = {
+        "sampling_rate": sr,
+        "nfft": nfft,
+        "n_overlap": 256,
+        "freq_range": [400, 10000],
+        "quantiles": [0.02, 0.99],
+    }
+
+    expected = ref_spec.preprocess_spectrogram(
+        spec_db.copy(), frequencies, parameter
+    )
+    got = preprocess_db_spectrogram_numpy(spec_db.copy(), frequencies, parameter)
+    np.testing.assert_allclose(got, expected, atol=1e-12)
