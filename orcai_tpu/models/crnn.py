@@ -20,6 +20,9 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from orcai_tpu.models.layers import BiLSTM, SeparableConv
+from orcai_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()
 
 Dtype = Any
 L2_SCALE = 0.001

@@ -42,6 +42,12 @@ from orcai_tpu.utils import (
     SEED_ID_LOAD_TRAIN_DATA,
     SEED_ID_LOAD_VAL_DATA,
 )
+from orcai_tpu.utils.jaxcache import enable_persistent_cache
+
+# the persistent executable cache must be on for EVERY compute-path module:
+# a train-only process that never imports the predict frontend would
+# otherwise recompile the epoch executables (~100 s) on each cold start
+enable_persistent_cache()
 
 
 def _count_params(tree) -> int:
