@@ -235,6 +235,7 @@ def _import_reference_spectrogram():
     """
     import types
 
+    stubbed = []
     for name, attrs in {
         "librosa": ["amplitude_to_db", "fft_frequencies", "frames_to_time",
                     "load", "stft"],
@@ -250,7 +251,14 @@ def _import_reference_spectrogram():
             for attr in attrs:
                 setattr(stub, attr, None)
             sys.modules[name] = stub
-    import orcAI.spectrogram as ref_spec
+            stubbed.append(name)
+    try:
+        import orcAI.spectrogram as ref_spec
+    finally:
+        # the imported module keeps its own references; drop the stubs so
+        # later importorskip("zarr") etc. in other test modules see reality
+        for name in stubbed:
+            sys.modules.pop(name, None)
 
     return ref_spec
 
