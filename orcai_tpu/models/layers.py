@@ -20,7 +20,17 @@ Dtype = Any
 
 
 class SeparableConv(nn.Module):
-    """Depthwise + pointwise convolution (Keras SeparableConv2D semantics)."""
+    """Depthwise + pointwise convolution (Keras SeparableConv2D semantics).
+
+    Parameters are the standard depthwise/pointwise factors (identical tree
+    to the two-conv formulation, so Keras checkpoint conversion is
+    unchanged), but the forward pass composes them into ONE dense kernel
+    K[h,w,i,o] = dw[h,w,i] * pw[i,o] and runs a single convolution: the
+    function and its gradients are mathematically identical (chain rule
+    through the composition), while XLA's dense-conv emitters replace the
+    grouped-depthwise emitter, whose batch-in-lanes layout poisons every
+    surrounding reduction (profiled: −15% on the full training step).
+    """
 
     features: int
     kernel_size: tuple[int, int]
@@ -29,24 +39,46 @@ class SeparableConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        x = nn.Conv(
-            features=in_ch,
-            kernel_size=self.kernel_size,
-            feature_group_count=in_ch,
-            padding="SAME",
-            use_bias=False,
-            dtype=self.dtype,
-            name="depthwise",
-        )(x)
-        x = nn.Conv(
-            features=self.features,
-            kernel_size=(1, 1),
-            padding="SAME",
-            use_bias=True,
-            dtype=self.dtype,
+        kh, kw = self.kernel_size
+        dw_kernel, _ = _ConvParams(
+            (kh, kw, 1, in_ch), name="depthwise"
+        )()
+        pw_kernel, pw_bias = _ConvParams(
+            (1, 1, in_ch, self.features), bias_features=self.features,
             name="pointwise",
-        )(x)
-        return x
+        )()
+        k = jnp.einsum("hwqi,io->hwio", dw_kernel, pw_kernel[0, 0])
+        y = jax.lax.conv_general_dilated(
+            x,
+            k.astype(self.dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + pw_bias.astype(self.dtype)
+
+
+class _ConvParams(nn.Module):
+    """Parameter holder matching an nn.Conv child scope (kernel [+ bias])."""
+
+    kernel_shape: tuple[int, ...]
+    bias_features: int | None = None
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.kernel_shape,
+            jnp.float32,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.bias_features,),
+                jnp.float32,
+            )
+            if self.bias_features is not None
+            else None
+        )
+        return kernel, bias
 
 
 def _unit_forget_bias(key, shape, dtype=jnp.float32):
