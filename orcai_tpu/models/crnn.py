@@ -19,7 +19,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from orcai_tpu.models.layers import BiLSTM, SeparableConv
+from orcai_tpu.models.layers import BiLSTM, FrozenBiasConv, SeparableConv
 from orcai_tpu.utils.jaxcache import enable_persistent_cache
 
 enable_persistent_cache()
@@ -40,7 +40,7 @@ class ResNetTrunk(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         k = (self.kernel_size, self.kernel_size)
-        x = nn.Conv(16, k, padding="SAME", dtype=self.dtype, name="entry_conv")(x)
+        x = FrozenBiasConv(16, k, dtype=self.dtype, name="entry_conv")(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.99,
@@ -53,7 +53,8 @@ class ResNetTrunk(nn.Module):
         previous = x
         for bi, size in enumerate(self.filters):
             y = nn.relu(x)
-            y = SeparableConv(size, k, dtype=self.dtype, name=f"block{bi}_sep1")(y)
+            y = SeparableConv(size, k, dtype=self.dtype, frozen_bias=True,
+                              name=f"block{bi}_sep1")(y)
             y = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.99,
@@ -62,7 +63,8 @@ class ResNetTrunk(nn.Module):
                 name=f"block{bi}_bn1",
             )(y)
             y = nn.relu(y)
-            y = SeparableConv(size, k, dtype=self.dtype, name=f"block{bi}_sep2")(y)
+            y = SeparableConv(size, k, dtype=self.dtype, frozen_bias=True,
+                              name=f"block{bi}_sep2")(y)
             y = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.99,
@@ -84,7 +86,8 @@ class ResNetTrunk(nn.Module):
             if self.block_dropout:
                 x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
 
-        x = SeparableConv(36, k, dtype=self.dtype, name="head_sep")(x)
+        x = SeparableConv(36, k, dtype=self.dtype, frozen_bias=True,
+                          name="head_sep")(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.99,

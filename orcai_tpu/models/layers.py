@@ -35,6 +35,7 @@ class SeparableConv(nn.Module):
     features: int
     kernel_size: tuple[int, int]
     dtype: Dtype = jnp.float32
+    frozen_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -47,15 +48,55 @@ class SeparableConv(nn.Module):
             (1, 1, in_ch, self.features), bias_features=self.features,
             name="pointwise",
         )()
+        if self.frozen_bias:
+            # a conv bias feeding straight into a BatchNorm has EXACTLY zero
+            # gradient (the mean subtraction cancels any constant shift) and
+            # is function-invariant; stop_gradient removes the pointless
+            # full-tensor bias-grad reductions from the backward pass
+            pw_bias = jax.lax.stop_gradient(pw_bias)
         k = jnp.einsum("hwqi,io->hwio", dw_kernel, pw_kernel[0, 0])
         y = jax.lax.conv_general_dilated(
-            x,
+            x.astype(self.dtype),
             k.astype(self.dtype),
             window_strides=(1, 1),
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         return y + pw_bias.astype(self.dtype)
+
+
+class FrozenBiasConv(nn.Module):
+    """nn.Conv-compatible conv whose bias is excluded from gradients.
+
+    For convolutions immediately followed by a BatchNorm: the bias has
+    exactly zero gradient there (constant shifts cancel in the mean
+    subtraction), so stop_gradient skips the full-tensor reduction that
+    would otherwise compute it. Parameter tree matches nn.Conv.
+    """
+
+    features: int
+    kernel_size: tuple[int, int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, in_ch, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + jax.lax.stop_gradient(bias).astype(self.dtype)
 
 
 class _ConvParams(nn.Module):

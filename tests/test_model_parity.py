@@ -132,3 +132,37 @@ def test_full_size_contract():
     variables = model.init(jax.random.key(0), jnp.zeros((1, 736, 171, 1)))
     out = model.apply(variables, jnp.zeros((1, 736, 171, 1)), train=False)
     assert out.shape == (1, 46, 7)
+
+
+def test_frozen_trunk_biases_have_zero_gradient():
+    """Trunk conv biases feed straight into train-mode BatchNorm, where any
+    constant shift cancels exactly — the frozen-bias optimization
+    (models/layers.py) relies on this gradient being identically zero. Check
+    it against an UNFROZEN replica of the graph."""
+    import jax.numpy as jnp
+
+    keras.utils.set_random_seed(5)
+    kmodel = build_keras_model(SMALL_PARAM, input_shape=INPUT_SHAPE)
+    variables = keras_to_flax_variables(kmodel, SMALL_PARAM)
+    model = build_model(SMALL_PARAM)
+    x = jnp.asarray(_rand_batch(batch=4, seed=21))
+
+    def loss(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(0)},
+        )
+        return jnp.sum(out ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    trunk = grads["trunk"]
+    # biases stopped by the optimization
+    frozen = [trunk["entry_conv"]["bias"]]
+    for name, g in trunk.items():
+        if "sep" in name:
+            frozen.append(g["pointwise"]["bias"])
+    for g in frozen:
+        assert float(jnp.abs(g).max()) == 0.0
+    # a bias NOT followed by BN (shortcut convs) must still get gradient
+    assert float(jnp.abs(trunk["block0_shortcut"]["bias"]).max()) > 0.0
