@@ -32,6 +32,31 @@ _DTYPES = {
 }
 
 
+def _zstd_decompress(data: bytes) -> bytes:
+    """Decompress a zstd frame via whichever implementation is available.
+
+    Tries the 3.14+ stdlib module, then the `zstandard` package. Raises a
+    clear error when neither exists (this image ships neither; real-world
+    zarr v3 stores default to zstd, so the hook matters for users who do
+    have one of these modules).
+    """
+    try:  # pragma: no cover - stdlib module requires python >= 3.14
+        from compression import zstd  # type: ignore
+
+        return zstd.decompress(data)
+    except ImportError:
+        pass
+    try:  # pragma: no cover - zstandard is not installed in this image
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompress(data)
+    except ImportError:
+        raise NotImplementedError(
+            "this zarr array uses the zstd codec; reading it needs either "
+            "python >= 3.14 (compression.zstd) or the `zstandard` package"
+        ) from None
+
+
 def _decode_chunk(raw: bytes, codecs: list[dict], dtype, chunk_shape) -> np.ndarray:
     data = raw
     # apply bytes->bytes codecs in reverse order down to the bytes codec
@@ -39,8 +64,8 @@ def _decode_chunk(raw: bytes, codecs: list[dict], dtype, chunk_shape) -> np.ndar
         name = codec["name"]
         if name == "gzip":
             data = gzip.decompress(data)
-        elif name == "zstd":  # pragma: no cover - zstd rarely used here
-            raise NotImplementedError("zstd codec not supported by zarrlite")
+        elif name == "zstd":
+            data = _zstd_decompress(data)
         elif name == "blosc":  # pragma: no cover
             raise NotImplementedError("blosc codec not supported by zarrlite")
         elif name == "bytes":

@@ -45,3 +45,43 @@ def test_real_zarr_interop(tmp_path):
     save_as_zarr(arr, tmp_path / "a.zarr", chunks=(30, 8))
     z = zarr.open(tmp_path / "a.zarr", mode="r")
     np.testing.assert_array_equal(z[:], arr)
+
+
+def test_zstd_codec_gated(tmp_path):
+    """zstd chunks decode when an implementation exists, else raise clearly."""
+    import json
+
+    import numpy as np
+
+    from orcai_tpu.io import zarrlite
+
+    arr = np.arange(12, dtype=np.float32).reshape(3, 4)
+    path = tmp_path / "z.zarr"
+    zarrlite.save_as_zarr(arr, path, compress=False)
+    meta = json.loads((path / "zarr.json").read_text())
+    meta["codecs"].append({"name": "zstd", "configuration": {"level": 3}})
+    (path / "zarr.json").write_text(json.dumps(meta))
+
+    try:
+        import zstandard  # noqa: F401
+
+        have_zstd = True
+    except ImportError:
+        try:
+            from compression import zstd  # noqa: F401
+
+            have_zstd = True
+        except ImportError:
+            have_zstd = False
+
+    raw = (path / "c" / "0" / "0").read_bytes()
+    if have_zstd:
+        import zstandard
+
+        (path / "c" / "0" / "0").write_bytes(
+            zstandard.ZstdCompressor(3).compress(raw)
+        )
+        np.testing.assert_array_equal(zarrlite.open_zarr(path)[:], arr)
+    else:
+        with pytest.raises(NotImplementedError, match="zstd"):
+            zarrlite.open_zarr(path)[0:3]
