@@ -26,7 +26,7 @@ exact.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -179,6 +179,13 @@ def _build_spectrogram_fn(
     return spec_fn
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def _pad_on_device(audio: jnp.ndarray, total: int, n_fft: int) -> jnp.ndarray:
+    """Center audio in a zeros buffer of `total` samples (device-side)."""
+    buf = jnp.zeros((total,), dtype=audio.dtype)
+    return jax.lax.dynamic_update_slice(buf, audio, (n_fft // 2,))
+
+
 def _bucket_frames(n_frames: int) -> int:
     b = _MIN_BUCKET
     while b < n_frames:
@@ -216,8 +223,6 @@ def compute_spectrogram_device(
 
     tpad = _bucket_frames(n_frames)
     total = (tpad - 1) * hop_length + n_fft
-    padded = np.zeros(total, dtype=audio.dtype)
-    padded[n_fft // 2 : n_fft // 2 + n] = audio  # centered, zero pad_mode
 
     import os
 
@@ -229,8 +234,14 @@ def compute_spectrogram_device(
         n_fft, hop_length, lo_idx, hi_idx, precision, use_pallas
     )
     n_elem = n_frames * (hi_idx - lo_idx)
+    # upload the RAW samples (possibly an int16 mmap streaming straight from
+    # the page cache) and pad to the frame bucket ON DEVICE: the bucket can
+    # add up to 2x frames, so host-side padding would inflate the
+    # host->device transfer - the dominant cost on tunneled backends - and
+    # force an extra host copy of the whole recording
+    padded = _pad_on_device(jnp.asarray(audio), total, n_fft)
     out = fn(
-        jnp.asarray(padded),
+        padded,
         jnp.asarray(n_frames, dtype=jnp.int32),
         jnp.asarray(nearest_quantile_index(float(quantiles[0]), n_elem), jnp.int32),
         jnp.asarray(nearest_quantile_index(float(quantiles[1]), n_elem), jnp.int32),
