@@ -1,0 +1,96 @@
+"""Pre-compile the predict-path executables into the persistent XLA cache.
+
+Remote-compiler backends pay minutes of cold compilation the first time a
+new recording-length bucket is seen (the frontend pads recordings to
+power-of-two frame buckets, ops/frontend.py). Running this tool once per
+machine compiles the spectrogram + windowed-inference executables for every
+bucket up to --minutes through the SAME code path `orcai predict` uses, so
+production invocations start hot regardless of recording length.
+
+Usage:  python -m orcai_tpu.tools.warmup [--minutes 90] [--model orcai-v1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def bucket_sample_counts(max_minutes: float, sr: int, hop: int) -> list[int]:
+    """One representative sample count per frame bucket up to max_minutes."""
+    from orcai_tpu.ops.frontend import _bucket_frames
+
+    counts: list[int] = []
+    max_n = int(max_minutes * 60 * sr)
+    n = sr  # start at 1 s
+    seen = set()
+    while n <= max_n:
+        b = _bucket_frames(1 + n // hop)
+        if b not in seen:
+            seen.add(b)
+            counts.append(min((b - 1) * hop, max_n))
+        n = b * hop + hop  # first length overflowing this bucket
+    b_max = _bucket_frames(1 + max_n // hop)
+    if b_max not in seen:
+        counts.append(max_n)
+    return counts
+
+
+def warmup(
+    max_minutes: float = 90.0,
+    model_dir=None,
+    predict_batch_size: int = 128,
+    verbose: bool = True,
+) -> int:
+    """Compile predict executables for every bucket; returns bucket count."""
+    from orcai_tpu.io.model_store import load_orcai_model
+    from orcai_tpu.ops.frontend import make_spectrogram_from_params_device
+    from orcai_tpu.ops.overlap import WindowPredictor
+    from orcai_tpu.pipeline.helpers import bundled_model_dir
+
+    if model_dir is None:
+        model_dir = bundled_model_dir("orcai-v1")
+    model, variables, orcai_parameter, shape = load_orcai_model(model_dir)
+    sp = orcai_parameter["spectrogram"]
+    predictor = WindowPredictor(
+        model,
+        variables,
+        snippet_len=shape["input_shape"][0],
+        n_filters=len(orcai_parameter["model"]["filters"]),
+        batch_size=predict_batch_size,
+    )
+
+    counts = bucket_sample_counts(max_minutes, sp["sampling_rate"], sp["n_overlap"])
+    for i, n in enumerate(counts):
+        t0 = time.time()
+        audio = np.zeros(n, dtype=np.int16)
+        spec_dev, n_frames, _, _ = make_spectrogram_from_params_device(audio, sp)
+        aggregated, overlap_count = predictor.aggregate(spec_dev, n_frames=n_frames)
+        predictor.binary_predictions(aggregated, overlap_count, threshold=0.5)
+        if verbose:
+            print(
+                f"[{i + 1}/{len(counts)}] {n / sp['sampling_rate'] / 60:6.1f} min "
+                f"bucket ready in {time.time() - t0:.1f} s",
+                flush=True,
+            )
+    return len(counts)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(
+        description="pre-compile predict executables for all recording-length "
+        "buckets up to --minutes"
+    )
+    ap.add_argument("--minutes", type=float, default=90.0)
+    ap.add_argument("--model_dir", default=None,
+                    help="model directory (default: bundled orcai-v1)")
+    ap.add_argument("--batch_size", type=int, default=128)
+    args = ap.parse_args()
+    n = warmup(args.minutes, args.model_dir, args.batch_size)
+    print(f"warmed {n} recording-length buckets")
+
+
+if __name__ == "__main__":
+    main()

@@ -70,3 +70,20 @@ def test_get_call_weights_methods():
         assert False
     except ValueError:
         pass
+
+
+def test_warmup_bucket_sample_counts():
+    """One representative length per frame bucket, covering the max length."""
+    from orcai_tpu.ops.frontend import _bucket_frames
+    from orcai_tpu.tools.warmup import bucket_sample_counts
+
+    sr, hop = 48000, 256
+    counts = bucket_sample_counts(90.0, sr, hop)
+    buckets = [_bucket_frames(1 + n // hop) for n in counts]
+    assert len(set(buckets)) == len(buckets)  # distinct buckets
+    assert sorted(buckets) == buckets
+    # the longest requested recording maps to the last bucket
+    assert buckets[-1] == _bucket_frames(1 + int(90 * 60 * sr) // hop)
+    # every count is representable within its bucket
+    for n, b in zip(counts, buckets):
+        assert 1 + n // hop <= b
