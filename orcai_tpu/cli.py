@@ -86,7 +86,10 @@ def cli():
 @click.option("--channel", "-c", type=int, default=1, show_default=True,
               help="Channel to use for prediction for a single file.")
 @click.option("--model", "-m", "model",
-              type=click.Choice(INCLUDED_MODELS, case_sensitive=False),
+              # plain str when no bundled models are discoverable: Choice([])
+              # would reject even the default and break --model_dir usage
+              type=(click.Choice(INCLUDED_MODELS, case_sensitive=False)
+                    if INCLUDED_MODELS else str),
               default="orcai-v1", show_default=True,
               help="Builtin model to use for prediction. Overridden if "
               "model_dir is given.")

@@ -94,6 +94,57 @@ def nearest_quantile_index(q: float, n: int) -> int:
     return int(np.round(q * (n - 1)))
 
 
+def framed_dft_magnitude(
+    audio_tile: jnp.ndarray,
+    C: jnp.ndarray,
+    S: jnp.ndarray,
+    *,
+    n_fft: int,
+    hop: int,
+    tpad: int,
+    precision=jax.lax.Precision.HIGHEST,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Framing + windowed rDFT magnitudes for a padded audio tile.
+
+    Shared by the in-memory frontend and the streaming two-pass predictor.
+    `audio_tile` holds (tpad - 1) * hop + n_fft samples (int16 PCM is scaled
+    on device); returns (tpad, n_bins). With use_pallas the fused Pallas
+    kernel computes it without materializing the frames matrix (requires
+    tpad divisible by its frame tile).
+    """
+    if use_pallas:
+        from orcai_tpu.ops.pallas_dft import DEFAULT_TILE, dft_magnitude
+
+        return dft_magnitude(
+            audio_tile, C, S, n_fft=n_fft, hop=hop, tile_frames=DEFAULT_TILE
+        )
+    if audio_tile.dtype == jnp.int16:
+        audio_tile = audio_tile.astype(jnp.float32) * (1.0 / 32768.0)
+    # frame extraction via the strided-reshape trick: rows of x2 are
+    # hop-sized blocks and frame t is the concatenation of blocks
+    # t .. t + n_fft/hop - 1
+    k = n_fft // hop
+    x2 = audio_tile.reshape(-1, hop)
+    frames = jnp.concatenate([x2[i : i + tpad] for i in range(k)], axis=1)
+    re = jnp.dot(frames, C, precision=precision)
+    im = jnp.dot(frames, S, precision=precision)
+    return jnp.sqrt(re * re + im * im)  # (tpad, n_bins)
+
+
+def pallas_frontend_enabled(tpad: int) -> bool:
+    """Whether the fused Pallas DFT kernel applies for a tpad-frame tile."""
+    import os
+
+    from orcai_tpu.ops.pallas_dft import DEFAULT_TILE
+
+    return (
+        jax.default_backend() == "tpu"
+        and os.environ.get("ORCAI_TPU_DISABLE_PALLAS") != "1"
+        and tpad % DEFAULT_TILE == 0
+    )
+
+
 @lru_cache(maxsize=None)
 def _build_spectrogram_fn(
     n_fft: int,
@@ -114,7 +165,6 @@ def _build_spectrogram_fn(
     prec = (
         jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
     )
-    k = n_fft // hop
     assert n_fft % hop == 0, "frontend requires hop dividing n_fft"
 
     @jax.jit
@@ -127,27 +177,10 @@ def _build_spectrogram_fn(
         S: jnp.ndarray,
     ) -> jnp.ndarray:
         tpad = (padded.shape[0] - n_fft) // hop + 1
-        if use_pallas:
-            # fused Pallas kernel: framing + GEMMs + |.| without HBM
-            # round-trips for the frames matrix (ops/pallas_dft.py)
-            from orcai_tpu.ops.pallas_dft import DEFAULT_TILE, dft_magnitude
-
-            mag = dft_magnitude(padded, C, S, n_fft=n_fft, hop=hop,
-                                tile_frames=DEFAULT_TILE)
-        else:
-            # int16 PCM is scaled to [-1, 1] on device (halves upload volume)
-            if padded.dtype == jnp.int16:
-                padded = padded.astype(jnp.float32) * (1.0 / 32768.0)
-            # frame extraction via the strided-reshape trick: padded length
-            # is (Tpad - 1) * hop + n_fft; rows of x2 are hop-sized blocks
-            # and frame t is the concatenation of blocks t .. t + k - 1.
-            x2 = padded.reshape(-1, hop)
-            frames = jnp.concatenate(
-                [x2[i : i + tpad] for i in range(k)], axis=1
-            )
-            re = jnp.dot(frames, C, precision=prec)
-            im = jnp.dot(frames, S, precision=prec)
-            mag = jnp.sqrt(re * re + im * im)  # (Tpad, n_bins)
+        mag = framed_dft_magnitude(
+            padded, C, S, n_fft=n_fft, hop=hop, tpad=tpad,
+            precision=prec, use_pallas=use_pallas,
+        )
 
         valid = (jnp.arange(tpad) < n_valid)[:, None]  # (Tpad, 1)
 
@@ -223,6 +256,12 @@ def compute_spectrogram_device(
 
     tpad = _bucket_frames(n_frames)
     total = (tpad - 1) * hop_length + n_fft
+    # with hop == n_fft the bucket buffer can fall short of centering the
+    # last samples (dynamic_update_slice would silently clamp and misalign
+    # every frame); grow to the next bucket until the audio fits
+    while total < n_fft // 2 + n:
+        tpad *= 2
+        total = (tpad - 1) * hop_length + n_fft
 
     import os
 

@@ -41,8 +41,10 @@ from orcai_tpu.ops.frontend import (
     _TOP_DB,
     _dft_mats,
     fft_frequencies,
+    framed_dft_magnitude,
     freq_crop_indices,
     nearest_quantile_index,
+    pallas_frontend_enabled,
 )
 from orcai_tpu.utils.jaxcache import enable_persistent_cache
 
@@ -56,26 +58,21 @@ _LEVELS = (
 )
 
 
-def _mag_tile(audio_tile, C, S, n_fft: int, hop: int, tpad: int):
-    """Framed windowed rDFT magnitudes for one audio tile (tpad frames)."""
-    if audio_tile.dtype == jnp.int16:
-        audio_tile = audio_tile.astype(jnp.float32) * (1.0 / 32768.0)
-    k = n_fft // hop
-    x2 = audio_tile.reshape(-1, hop)
-    frames = jnp.concatenate([x2[i : i + tpad] for i in range(k)], axis=1)
-    re = jnp.dot(frames, C, precision=jax.lax.Precision.HIGHEST)
-    im = jnp.dot(frames, S, precision=jax.lax.Precision.HIGHEST)
-    return jnp.sqrt(re * re + im * im)  # (tpad, n_bins)
-
-
 @lru_cache(maxsize=None)
-def _build_stats_fns(n_fft: int, hop: int, lo_idx: int, hi_idx: int, tpad: int):
+def _build_stats_fns(n_fft: int, hop: int, lo_idx: int, hi_idx: int, tpad: int,
+                     use_pallas: bool = False):
     """(level0_fn, refine_fn_by_level) for stats tiles of tpad frames."""
     C_dev, S_dev = map(jnp.asarray, _dft_mats(n_fft))
 
+    def _mag(audio_tile, C, S):
+        return framed_dft_magnitude(
+            audio_tile, C, S, n_fft=n_fft, hop=hop, tpad=tpad,
+            use_pallas=use_pallas,
+        )
+
     @jax.jit
     def level0_fn(audio_tile, n_valid, C, S):
-        mag = _mag_tile(audio_tile, C, S, n_fft, hop, tpad)
+        mag = _mag(audio_tile, C, S)
         valid = (jnp.arange(tpad) < n_valid)[:, None]
         tile_max = jnp.max(jnp.where(valid, mag, -jnp.inf))
         crop = mag[:, lo_idx:hi_idx]
@@ -94,7 +91,7 @@ def _build_stats_fns(n_fft: int, hop: int, lo_idx: int, hi_idx: int, tpad: int):
 
         @jax.jit
         def refine_fn(audio_tile, n_valid, prefix_lo, prefix_hi, C, S):
-            mag = _mag_tile(audio_tile, C, S, n_fft, hop, tpad)
+            mag = _mag(audio_tile, C, S)
             valid = (jnp.arange(tpad) < n_valid)[:, None]
             crop = mag[:, lo_idx:hi_idx]
             keys = jax.lax.bitcast_convert_type(crop, jnp.uint32)
@@ -131,13 +128,17 @@ def _build_stats_fns(n_fft: int, hop: int, lo_idx: int, hi_idx: int, tpad: int):
 
 
 @lru_cache(maxsize=None)
-def _build_norm_fn(n_fft: int, hop: int, lo_idx: int, hi_idx: int, tpad: int):
+def _build_norm_fn(n_fft: int, hop: int, lo_idx: int, hi_idx: int, tpad: int,
+                   use_pallas: bool = False):
     """jit'd (audio_tile, ref_db, lo_db, hi_db) -> normalized spec tile."""
     C_dev, S_dev = map(jnp.asarray, _dft_mats(n_fft))
 
     @jax.jit
     def norm_fn(audio_tile, ref_db, lo_db, hi_db, C, S):
-        mag = _mag_tile(audio_tile, C, S, n_fft, hop, tpad)
+        mag = framed_dft_magnitude(
+            audio_tile, C, S, n_fft=n_fft, hop=hop, tpad=tpad,
+            use_pallas=use_pallas,
+        )
         db = 20.0 * jnp.log10(jnp.maximum(mag, _AMIN)) - ref_db
         db = jnp.maximum(db, -_TOP_DB)
         dbc = db[:, lo_idx:hi_idx]
@@ -255,7 +256,8 @@ class StreamingPredictor:
         """(ref_mag, lo_mag, hi_mag): exact global max + order statistics."""
         tpad = self.stats_tile_frames
         level0, refine = _build_stats_fns(
-            self.n_fft, self.hop, self.lo_idx, self.hi_idx, tpad
+            self.n_fft, self.hop, self.lo_idx, self.hi_idx, tpad,
+            use_pallas=pallas_frontend_enabled(tpad),
         )
         tiles = [
             (t0, min(tpad, n_frames - t0)) for t0 in range(0, n_frames, tpad)
@@ -348,7 +350,8 @@ class StreamingPredictor:
         n_bins = self.hi_idx - self.lo_idx
 
         norm_fn = _build_norm_fn(
-            self.n_fft, self.hop, self.lo_idx, self.hi_idx, tile_frames
+            self.n_fft, self.hop, self.lo_idx, self.hi_idx, tile_frames,
+            use_pallas=pallas_frontend_enabled(tile_frames),
         )
         key = (tile_frames, n_bins, wpc)
         if key not in wp._chunk_fns:

@@ -127,21 +127,9 @@ def _scan_files(root: Path, pattern: str, exclude: list[str] | None, msgr):
     return found
 
 
-def _files_frame(files, root, index_from_stem: bool, columns: dict) -> pd.DataFrame:
-    """DataFrame indexed by file stem with relative-path columns."""
-    frame = pd.DataFrame(
-        {
-            "recording": [p.stem for p in files],
-            **{
-                key: (
-                    [str(p.relative_to(root)) for p in files]
-                    if isinstance(value, str) and value == "__relpath__"
-                    else value
-                )
-                for key, value in columns.items()
-            },
-        }
-    )
+def _files_frame(files, columns: dict) -> pd.DataFrame:
+    """DataFrame indexed by file stem with the given columns, in order."""
+    frame = pd.DataFrame({"recording": [p.stem for p in files], **columns})
     return frame.set_index("recording")
 
 
@@ -190,23 +178,23 @@ def create_recording_table(
 
     table = _files_frame(
         wavs,
-        base_dir_recording,
-        True,
         {
             "recording_type": "unknown",
             "channel": default_channel,
             "base_dir_recording": str(base_dir_recording),
-            "rel_recording_path": "__relpath__",
+            "rel_recording_path": [
+                str(p.relative_to(base_dir_recording)) for p in wavs
+            ],
             **{call: pd.NA for call in calls},
         },
     )
     annotation_table = _files_frame(
         annotations,
-        base_dir_annotation,
-        True,
         {
             "base_dir_annotation": str(base_dir_annotation),
-            "rel_annotation_path": "__relpath__",
+            "rel_annotation_path": [
+                str(p.relative_to(base_dir_annotation)) for p in annotations
+            ],
         },
     )
 

@@ -216,6 +216,12 @@ def hyperparameter_search(
     limit = int(os.environ.get("ORCAI_TPU_DEVICE_DATASET_BYTES", 6_000_000_000))
     hbm_resident = (train_ds.x.nbytes + val_ds.x.nbytes) * n_workers <= limit
     device_data_cache: dict[int, tuple] = {}
+    # check-then-insert must be atomic: with more submissions than workers, a
+    # thread freed early (e.g. by a cached trial) can race another onto the
+    # same device and duplicate the dataset upload + its HBM footprint
+    import threading
+
+    device_data_lock = threading.Lock()
 
     def device_data_for(device) -> tuple | None:
         """HBM-resident copy pinned to `device`, or the shared uncommitted
@@ -224,18 +230,27 @@ def hyperparameter_search(
         if not hbm_resident:
             return None
         key = id(device) if device is not None else None
-        if key not in device_data_cache:
-            device_data_cache[key] = (
-                DeviceData(train_ds, device=device),
-                DeviceData(val_ds, device=device),
-            )
-        return device_data_cache[key]
+        with device_data_lock:
+            if key not in device_data_cache:
+                device_data_cache[key] = (
+                    DeviceData(train_ds, device=device),
+                    DeviceData(val_ds, device=device),
+                )
+            return device_data_cache[key]
 
     if hbm_resident:
         msgr.info("Datasets HBM-resident: shared across trials")
-    rng = np.random.default_rng(
-        [13, orcai_parameter["seed"]] if orcai_parameter["seed"] else None
-    )
+    # resumability requires deterministic config sampling: without a project
+    # seed, draw one on the first run and persist it next to the trial store
+    search_seed = orcai_parameter["seed"]
+    if not search_seed:
+        seed_file = store.directory / "search_seed.json"
+        if seed_file.exists():
+            search_seed = json.loads(seed_file.read_text())["seed"]
+        else:
+            search_seed = int(np.random.SeedSequence().entropy % (2**63))
+            seed_file.write_text(json.dumps({"seed": search_seed}))
+    rng = np.random.default_rng([13, search_seed])
     seed_int = (
         int(orcai_parameter["seed"]) % (2**31) if orcai_parameter["seed"] else 0
     )
@@ -380,6 +395,10 @@ def hyperparameter_search(
 
             scored = []
             for (cfg, trial_id, _), record in zip(submissions, records):
+                # trust the RECORDED config over the freshly sampled one: a
+                # cached record from an interrupted run is authoritative for
+                # what was actually trained under this trial id
+                cfg = {k: record.get(k, v) for k, v in cfg.items()}
                 all_trials.append({k: v for k, v in record.items() if k != "history"})
                 scored.append((record["score"], cfg))
                 msgr.info(

@@ -105,3 +105,37 @@ def test_spectrogram_shapes_various_lengths():
         spec, _, times = compute_spectrogram(x, SR, NFFT, HOP, FREQ_RANGE, QUANTILES)
         assert spec.shape == (1 + n // HOP, 171)
         assert len(times) == spec.shape[0]
+
+
+def test_hop_equals_nfft_no_clamp():
+    """hop == n_fft configs must still center the audio exactly (the device
+    pad buffer grows to the next bucket instead of silently clamping)."""
+    from orcai_tpu.ops.frontend import compute_spectrogram
+
+    sr, n_fft = 48000, 512
+    rng = np.random.default_rng(0)
+    # length chosen so n_frames lands on a bucket boundary and
+    # n mod hop > n_fft//2 (the clamping geometry from review)
+    n = 2048 * n_fft + 300
+    audio = rng.uniform(-0.5, 0.5, n).astype(np.float32)
+    spec, freqs, _ = compute_spectrogram(
+        audio, sr, n_fft, n_fft, freq_range=[0, 10000], quantiles=[0.01, 0.999]
+    )
+    # independent host reference with the same semantics
+    hop = n_fft
+    n_frames = 1 + n // hop
+    padded = np.zeros((n_frames - 1) * hop + n_fft + n_fft, np.float32)
+    padded[n_fft // 2 : n_fft // 2 + n] = audio
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    frames = padded[idx] * hann_window(n_fft)
+    S = np.abs(np.fft.rfft(frames, axis=1))
+    ref = S.max()
+    db = 20 * np.log10(np.maximum(S, 1e-5)) - 20 * np.log10(max(ref, 1e-5))
+    db = np.maximum(db, -80.0)
+    lo_idx, hi_idx = freq_crop_indices(freqs, [0, 10000])
+    dbc = db[:, lo_idx:hi_idx]
+    lo = np.percentile(dbc, 1, method="nearest")
+    hi = np.percentile(dbc, 99.9, method="nearest")
+    expected = np.clip((np.clip(dbc, lo, hi) - lo) / (hi - lo), 0, 1)
+    assert spec.shape == expected.shape
+    np.testing.assert_allclose(spec, expected, atol=2e-4)
