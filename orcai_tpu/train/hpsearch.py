@@ -193,12 +193,23 @@ def hyperparameter_search(
     dataset_shape = read_json(data_dir / "dataset_shapes.json")
     train_ds = ArrayDataset.load(data_dir / "train_dataset")
     val_ds = ArrayDataset.load(data_dir / "val_dataset")
-    train_seed = [SEED_ID_LOAD_TEST_DATA, orcai_parameter["seed"]]
-    val_seed = [SEED_ID_LOAD_VAL_DATA, orcai_parameter["seed"]]
 
     hps_logs_dir = Path(output_dir) / "hps_logs"
     hps_logs_dir.mkdir(parents=True, exist_ok=True)
     store = TrialStore(hps_logs_dir / model_name)
+
+    # resumability requires deterministic sampling AND data order: without a
+    # project seed, draw one on the first run and persist it with the store
+    search_seed = orcai_parameter["seed"]
+    if not search_seed:
+        seed_file = store.directory / "search_seed.json"
+        if seed_file.exists():
+            search_seed = json.loads(seed_file.read_text())["seed"]
+        else:
+            search_seed = int(np.random.SeedSequence().entropy % (2**63))
+            seed_file.write_text(json.dumps({"seed": search_seed}))
+    train_seed = [SEED_ID_LOAD_TEST_DATA, search_seed]
+    val_seed = [SEED_ID_LOAD_VAL_DATA, search_seed]
 
     import flax.serialization
     import jax
@@ -240,20 +251,8 @@ def hyperparameter_search(
 
     if hbm_resident:
         msgr.info("Datasets HBM-resident: shared across trials")
-    # resumability requires deterministic config sampling: without a project
-    # seed, draw one on the first run and persist it next to the trial store
-    search_seed = orcai_parameter["seed"]
-    if not search_seed:
-        seed_file = store.directory / "search_seed.json"
-        if seed_file.exists():
-            search_seed = json.loads(seed_file.read_text())["seed"]
-        else:
-            search_seed = int(np.random.SeedSequence().entropy % (2**63))
-            seed_file.write_text(json.dumps({"seed": search_seed}))
     rng = np.random.default_rng([13, search_seed])
-    seed_int = (
-        int(orcai_parameter["seed"]) % (2**31) if orcai_parameter["seed"] else 0
-    )
+    seed_int = int(search_seed) % (2**31)
 
     def run_trial(
         cfg: dict,

@@ -160,3 +160,44 @@ def test_hpsearch_parallel(tmp_path):
     trials = pd.read_csv(out / "hps_logs" / "all_trials.csv")
     assert (trials["status"] == "COMPLETED").all()
     assert (out / "hps_logs" / "best_hyperparameters.json").exists()
+
+
+def test_hpsearch_seedless_resume(tmp_path):
+    """With a falsy project seed the search draws and persists its own
+    sampling seed, so a re-run still resumes deterministically (every trial
+    CACHED with identical configs)."""
+    rng = np.random.default_rng(3)
+    x = rng.uniform(size=(16, *INPUT_SHAPE)).astype(np.float32)
+    y = rng.integers(0, 2, size=(16, 2, 2)).astype(np.float32)
+
+    class L:
+        def __len__(self):
+            return len(x)
+
+        def __iter__(self):
+            return iter(zip(x, y))
+
+    for split in ["train", "val"]:
+        ArrayDataset.save_from_loader(L(), tmp_path / f"{split}_dataset",
+                                      compression=None)
+    (tmp_path / "dataset_shapes.json").write_text(
+        json.dumps({"spectrogram": list(INPUT_SHAPE), "labels": [2, 2]})
+    )
+    out = tmp_path / "out"
+    out.mkdir()
+    param = {**PARAM, "name": "hps-seedless", "seed": None}
+    kwargs = dict(
+        orcai_parameter=param, hps_parameter=HPS,
+        msgr=Messenger(verbosity=0), verbosity=0, max_epochs=2, factor=2,
+    )
+    hyperparameter_search(tmp_path, out, **kwargs)
+    logs = out / "hps_logs"
+    assert (logs / "hps-seedless" / "search_seed.json").exists()
+    trials = pd.read_csv(logs / "all_trials.csv")
+    assert (trials["status"] == "COMPLETED").all()
+
+    hyperparameter_search(tmp_path, out, **kwargs)
+    trials2 = pd.read_csv(logs / "all_trials.csv")
+    assert (trials2["status"] == "CACHED").all()
+    assert trials2["filters"].tolist() == trials["filters"].tolist()
+    assert trials2["score"].tolist() == trials["score"].tolist()
