@@ -104,6 +104,46 @@ class SnippetDataLoader:
             yield self[i]
 
 
+class _ShardStack:
+    """Lazy row-indexable view over per-shard memmaps (no concatenation).
+
+    Supports the dataset's access patterns: len/shape/nbytes, integer and
+    index-array row gathers (sorted or not), and np.asarray for callers that
+    genuinely need the materialized array (e.g. a device upload).
+    """
+
+    def __init__(self, shards: list[np.ndarray]):
+        self.shards = shards
+        self.offsets = np.cumsum([0] + [len(s) for s in shards])
+        self.shape = (int(self.offsets[-1]), *shards[0].shape[1:])
+        self.dtype = shards[0].dtype
+
+    @property
+    def nbytes(self) -> int:
+        return int(np.prod(self.shape)) * self.dtype.itemsize
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def __getitem__(self, idx):
+        if isinstance(idx, (int, np.integer)):
+            s = int(np.searchsorted(self.offsets, idx, "right")) - 1
+            return self.shards[s][int(idx) - int(self.offsets[s])]
+        if isinstance(idx, slice):
+            idx = np.arange(*idx.indices(len(self)))
+        idx = np.asarray(idx)
+        s = np.searchsorted(self.offsets, idx, "right") - 1
+        out = np.empty((len(idx), *self.shape[1:]), self.dtype)
+        for shard_i in np.unique(s):
+            m = s == shard_i
+            out[m] = self.shards[shard_i][idx[m] - self.offsets[shard_i]]
+        return out
+
+    def __array__(self, dtype=None, copy=None):
+        out = np.concatenate([np.asarray(s) for s in self.shards])
+        return out.astype(dtype) if dtype is not None else out
+
+
 class ArrayDataset:
     """Materialized (X, Y) dataset with sharded .npy storage."""
 
@@ -139,6 +179,12 @@ class ArrayDataset:
         if path.exists() and any(path.iterdir()) and not overwrite:
             raise FileExistsError(f"File {path} already exists.")
         path.mkdir(parents=True, exist_ok=True)
+        # clear any previous materialization: leftovers from an earlier run
+        # with a different compression/shard count must not shadow the new
+        # files (e.g. an old .npy.gz next to a fresh .npy)
+        for old in path.glob("*.npy*"):
+            old.unlink()
+        (path / "meta.json").unlink(missing_ok=True)
 
         n = len(loader)
         shards = []
@@ -203,7 +249,12 @@ class ArrayDataset:
             ys.append(_read_npy(path / f"labels_{i:05d}.npy", compression))
         if len(xs) == 1:
             return cls(xs[0], ys[0])
-        return cls(np.concatenate(xs), np.concatenate(ys))
+        if compression:
+            # compressed shards are decompressed into RAM anyway
+            return cls(np.concatenate(xs), np.concatenate(ys))
+        # keep per-shard memmaps: concatenating would materialize the whole
+        # dataset in host RAM, defeating the mmap design this module promises
+        return cls(_ShardStack(xs), _ShardStack(ys))
 
     # -- iteration ---------------------------------------------------------------
 
@@ -253,6 +304,9 @@ def epoch_permutation(
         np.sort(order[b * batch_size : (b + 1) * batch_size])
         for b in range(n_batches)
     ]
+    if not drop_remainder and rows and len(rows[-1]) != batch_size:
+        # ragged tail batch: return a list (np.stack would raise)
+        return [row.astype(np.int32) for row in rows]
     return np.stack(rows).astype(np.int32) if rows else np.zeros(
         (0, batch_size), np.int32
     )
@@ -270,10 +324,12 @@ def _write_npy(path: Path, arr: np.ndarray, compression: str | None) -> None:
 
 
 def _read_npy(path: Path, compression: str | None) -> np.ndarray:
-    gz = Path(str(path) + ".gz")
-    if gz.exists():
+    # the compression recorded at write time (meta.json) is authoritative;
+    # never silently fall back to a stale sibling of the other flavor
+    if compression and compression.upper() == "GZIP":
         import io as _io
 
+        gz = Path(str(path) + ".gz")
         return np.load(_io.BytesIO(gzip.decompress(gz.read_bytes())))
     return np.load(path, mmap_mode="r")
 

@@ -28,17 +28,7 @@ def load_wav(
     audio has shape (channels, n).
     """
     native_sr, data = wavfile.read(str(path))
-
-    if data.dtype == np.int16:
-        audio = data.astype(np.float32) / 32768.0
-    elif data.dtype == np.int32:
-        audio = data.astype(np.float32) / 2147483648.0
-    elif data.dtype == np.uint8:
-        audio = (data.astype(np.float32) - 128.0) / 128.0
-    elif data.dtype in (np.float32, np.float64):
-        audio = data.astype(np.float32)
-    else:
-        raise ValueError(f"unsupported wav sample format: {data.dtype}")
+    audio = _pcm_to_float(data)
 
     if audio.ndim == 2:  # scipy gives (n, ch); librosa convention is (ch, n)
         audio = np.ascontiguousarray(audio.T)
@@ -65,6 +55,19 @@ def _resample_filter(up: int, down: int) -> np.ndarray:
     max_rate = max(up, down)
     half_len = 32 * max_rate
     return firwin(2 * half_len + 1, 1.0 / max_rate, window=("kaiser", 12.0))
+
+
+def _pcm_to_float(data: np.ndarray) -> np.ndarray:
+    """PCM/float samples -> float32 in [-1, 1]; rejects unknown formats."""
+    if data.dtype == np.int16:
+        return data.astype(np.float32) / 32768.0
+    if data.dtype == np.int32:
+        return data.astype(np.float32) / 2147483648.0
+    if data.dtype == np.uint8:
+        return (data.astype(np.float32) - 128.0) / 128.0
+    if data.dtype in (np.float32, np.float64):
+        return data.astype(np.float32)
+    raise ValueError(f"unsupported wav sample format: {data.dtype}")
 
 
 def resample_audio(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
@@ -99,18 +102,17 @@ def load_wav_for_frontend(
     native_sr, data = wavfile.read(str(path), mmap=True)
     multichannel = data.ndim == 2
     if multichannel:
-        data = np.ascontiguousarray(data.T)[channel - 1]
+        if not 1 <= channel <= data.shape[1]:
+            raise ValueError(
+                f"channel {channel} requested but {path} has "
+                f"{data.shape[1]} channels"
+            )
+        # copy ONLY the wanted channel (transposing first would materialize
+        # and page in the whole multichannel file)
+        data = np.ascontiguousarray(data[:, channel - 1])
     if data.dtype == np.int16 and native_sr == sr:
         return data, multichannel
-    # general path
-    if data.dtype == np.int16:
-        audio = data.astype(np.float32) / 32768.0
-    elif data.dtype == np.int32:
-        audio = data.astype(np.float32) / 2147483648.0
-    elif data.dtype == np.uint8:
-        audio = (data.astype(np.float32) - 128.0) / 128.0
-    else:
-        audio = data.astype(np.float32)
+    audio = _pcm_to_float(data)
     if native_sr != sr:
         audio = resample_audio(audio, native_sr, sr)
     return audio, multichannel

@@ -104,8 +104,7 @@ class ZarrArray:
         return len(self.shape)
 
     def _chunk_path(self, idx: tuple[int, ...]) -> Path:
-        key = self.sep.join(["c", *map(str, idx)])
-        return self.path / key if self.sep == "/" else self.path / key
+        return self.path / self.sep.join(["c", *map(str, idx)])
 
     def _read_chunk(self, idx: tuple[int, ...]) -> np.ndarray:
         p = self._chunk_path(idx)
@@ -121,9 +120,20 @@ class ZarrArray:
         slices = []
         for k, n in zip(key, self.shape):
             if isinstance(k, slice):
+                if k.step not in (None, 1):
+                    raise NotImplementedError(
+                        "zarrlite supports step-1 slices only"
+                    )
                 slices.append(slice(*k.indices(n)))
             elif isinstance(k, (int, np.integer)):
-                slices.append(slice(int(k), int(k) + 1))
+                k = int(k)
+                if k < 0:
+                    k += n
+                if not 0 <= k < n:
+                    raise IndexError(
+                        f"index {k} out of bounds for axis of size {n}"
+                    )
+                slices.append(slice(k, k + 1))
             else:
                 raise TypeError(f"unsupported index {k!r}")
         out_shape = tuple(s.stop - s.start for s in slices)

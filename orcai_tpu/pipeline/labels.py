@@ -155,6 +155,14 @@ def create_label_arrays(
         disable=verbosity < 2,
     ):
         recording_labels = recording_table.loc[i, label_calls]
+        if recording_labels.isna().any():
+            blank = list(recording_labels[recording_labels.isna()].index)
+            raise ValueError(
+                f"Recording {recording_table.loc[i, 'recording']!r} has blank "
+                f"call-possibility cells for {blank} in the recording table; "
+                "fill every call column with 0/False (not possible) or "
+                "1/True (possible). NaN would silently cast to True."
+            )
         labels_present = list(recording_labels[recording_labels.astype(bool)].index)
         if not labels_present:
             recordings_no_labels.append(recording_table.loc[i, "recording"])

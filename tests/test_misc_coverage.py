@@ -87,3 +87,119 @@ def test_warmup_bucket_sample_counts():
     # every count is representable within its bucket
     for n, b in zip(counts, buckets):
         assert 1 + n // hop <= b
+
+
+def _toy_loader(n=10, t=8, bins=4, calls=2):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(n, t, bins, 1)).astype(np.float32)
+    y = rng.integers(0, 2, size=(n, t // 4, calls)).astype(np.float32)
+
+    class L:
+        def __len__(self):
+            return n
+
+        def __iter__(self):
+            return iter(zip(x, y))
+
+    return L(), x, y
+
+
+def test_dataset_overwrite_clears_stale_shards(tmp_path):
+    """Re-materializing with a different compression must not leave stale
+    shards of the other flavor shadowing the new data."""
+    import numpy as np
+
+    from orcai_tpu.io.dataset import ArrayDataset
+
+    loader, x, _ = _toy_loader()
+    ArrayDataset.save_from_loader(loader, tmp_path / "ds", compression="GZIP")
+    loader2, x2, _ = _toy_loader(n=6)
+    ArrayDataset.save_from_loader(
+        loader2, tmp_path / "ds", compression=None, overwrite=True
+    )
+    ds = ArrayDataset.load(tmp_path / "ds")
+    assert len(ds) == 6
+    np.testing.assert_array_equal(np.asarray(ds.x), x2)
+    assert not list((tmp_path / "ds").glob("*.npy.gz"))
+
+
+def test_dataset_multishard_memmap_load(tmp_path):
+    """Multi-shard uncompressed datasets load without concatenating into RAM
+    and gather batches across shard boundaries correctly."""
+    import numpy as np
+
+    from orcai_tpu.io.dataset import ArrayDataset, _ShardStack
+
+    loader, x, y = _toy_loader(n=10)
+    ArrayDataset.save_from_loader(
+        loader, tmp_path / "ds", compression=None, shard_size=4
+    )
+    ds = ArrayDataset.load(tmp_path / "ds")
+    assert isinstance(ds.x, _ShardStack)  # 3 shards: 4+4+2
+    assert len(ds) == 10 and ds.x.nbytes == x.nbytes
+    idx = np.array([0, 3, 4, 7, 9])  # spans all three shards
+    np.testing.assert_array_equal(ds.x[idx], x[idx])
+    np.testing.assert_array_equal(ds.x[9], x[9])
+    np.testing.assert_array_equal(np.asarray(ds.y), y)
+    # batch iteration across shards
+    batches = list(ds.batches(4, seed=3))
+    assert len(batches) == 2 and batches[0][0].shape == (4, 8, 4, 1)
+
+
+def test_dataset_ragged_batches(tmp_path):
+    """drop_remainder=False yields a short final batch instead of crashing."""
+    import numpy as np
+
+    from orcai_tpu.io.dataset import ArrayDataset
+
+    loader, x, _ = _toy_loader(n=10)
+    ArrayDataset.save_from_loader(loader, tmp_path / "ds", compression=None)
+    ds = ArrayDataset.load(tmp_path / "ds")
+    batches = list(ds.batches(4, seed=1, drop_remainder=False))
+    assert [len(b[0]) for b in batches] == [4, 4, 2]
+    seen = np.concatenate([b[0] for b in batches])
+    assert seen.shape[0] == 10
+
+
+def test_labels_blank_possibility_cells_error(tmp_path):
+    """Blank call-possibility cells in the recording table raise instead of
+    silently casting NaN to call-present."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from orcai_tpu.pipeline.labels import create_label_arrays
+
+    table = pd.DataFrame(
+        {
+            "recording": ["r1"],
+            "base_dir_annotation": [str(tmp_path)],
+            "rel_annotation_path": ["r1.txt"],
+            "CALL_A": [1.0],
+            "CALL_B": [np.nan],  # blank cell in the CSV
+        }
+    )
+    table_path = tmp_path / "recording_table.csv"
+    table.to_csv(table_path, index=False)
+    (tmp_path / "r1.txt").write_text("0.0\t1.0\tCALL_A\n")
+    (tmp_path / "r1").mkdir()
+    (tmp_path / "r1" / "spectrogram").mkdir()
+    (tmp_path / "r1" / "spectrogram" / "times.json").write_text(
+        json.dumps({"min": 0.0, "max": 10.0, "length": 100})
+    )
+
+    param = {
+        "name": "t", "calls": ["CALL_A", "CALL_B"],
+        "spectrogram": {"sampling_rate": 48000, "nfft": 512, "n_overlap": 256,
+                        "freq_range": [0, 16000], "quantiles": [0.01, 0.999]},
+        "model": {"filters": [2, 2]},
+        "seed": 1,
+    }
+    with pytest.raises(ValueError, match="blank"):
+        create_label_arrays(
+            table_path, tmp_path, orcai_parameter=param, verbosity=0
+        )

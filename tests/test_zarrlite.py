@@ -85,3 +85,15 @@ def test_zstd_codec_gated(tmp_path):
     else:
         with pytest.raises(NotImplementedError, match="zstd"):
             zarrlite.open_zarr(path)[0:3]
+
+
+def test_integer_index_edges(tmp_path):
+    arr = np.arange(20, dtype=np.float32).reshape(5, 4)
+    save_as_zarr(arr, tmp_path / "e.zarr", compress=False)
+    z = open_zarr(tmp_path / "e.zarr")
+    np.testing.assert_array_equal(z[-1], arr[-1])
+    np.testing.assert_array_equal(z[2, -2], arr[2, -2])
+    with pytest.raises(IndexError):
+        z[5]
+    with pytest.raises(NotImplementedError):
+        z[::2]
