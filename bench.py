@@ -200,7 +200,7 @@ def measure_tpu_train(n_batches: int = 8, epochs: int = 3) -> dict:
     Y = jnp.asarray(rng.integers(0, 2, (n, 46, 7)).astype(np.float32))
     perm = jnp.asarray(np.arange(n).reshape(n_batches, bsz))
 
-    train_fn, _ = trainer.build_device_epoch_fns(n_batches, bsz)
+    train_fn, _ = trainer.build_device_epoch_fns()
     state, m = train_fn(state, X, Y, perm)  # compile + warm
     np.asarray(m)
 

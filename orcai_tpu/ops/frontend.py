@@ -263,12 +263,7 @@ def compute_spectrogram_device(
         tpad *= 2
         total = (tpad - 1) * hop_length + n_fft
 
-    import os
-
-    use_pallas = (
-        jax.default_backend() == "tpu"
-        and os.environ.get("ORCAI_TPU_DISABLE_PALLAS") != "1"
-    )
+    use_pallas = pallas_frontend_enabled(tpad)
     fn = _build_spectrogram_fn(
         n_fft, hop_length, lo_idx, hi_idx, precision, use_pallas
     )

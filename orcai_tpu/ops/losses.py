@@ -90,7 +90,14 @@ def masked_auc_roc(probs, y_true, num_thresholds: int = 200) -> jnp.ndarray:
     """
     mask = _mask(y_true)
     y = jnp.where(mask, y_true, 0.0)
-    thresholds = jnp.linspace(0.0, 1.0, num_thresholds)
+    # Keras AUC threshold grid: [-eps, 1/(n-1), ..., (n-2)/(n-1), 1+eps] —
+    # the epsilon endpoints close the ROC curve at (0,0)/(1,1) even when
+    # probabilities saturate to exactly 0.0 or 1.0
+    eps = 1e-7
+    inner = jnp.arange(1, num_thresholds - 1) / (num_thresholds - 1)
+    thresholds = jnp.concatenate(
+        [jnp.array([-eps]), inner, jnp.array([1.0 + eps])]
+    )
 
     def rates(t):
         pred = probs >= t

@@ -27,8 +27,12 @@ def _spec_for(path_keys: tuple[str, ...], ndim: int) -> P:
         if ndim == 2:  # dense / LSTM fused kernels: (in, out-ish)
             return P(None, "model")
         if ndim == 4:  # conv kernels (kh, kw, in, out)
-            if parent == "depthwise":  # grouped conv: out dim == channels
-                return P(None, None, None, "model")
+            if parent == "depthwise":
+                # depthwise factor (kh, kw, 1, in_ch): its last dim is the
+                # INPUT-channel axis of the composed kernel — sharding it
+                # while the pointwise in_ch stays replicated would force
+                # GSPMD to reconcile them with extra collectives
+                return P()
             return P(None, None, None, "model")
         if ndim == 3:  # Conv1D (k, in, out)
             return P(None, None, "model")

@@ -90,7 +90,7 @@ def _attribution_matrix(m1: np.ndarray, m2: np.ndarray, n_labels: int) -> np.nda
     # rows with one source label are dropped when the target is masked there
     # (reference test.py:71-73)
     c1_idx = np.argmax(ones1, axis=1)
-    masked_at_c1 = m2[np.arange(m1.shape[0]), c1_idx] == -1
+    masked_at_c1 = m2[np.arange(m1.shape[0]), c1_idx] == MASK_VALUE
     src[single & masked_at_c1] = 0.0
 
     # target attribution rows: 1/k over active labels, or NOLABEL

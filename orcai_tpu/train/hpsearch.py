@@ -268,7 +268,12 @@ def hyperparameter_search(
 
         param = _apply_config(orcai_parameter, hps_parameter, cfg)
         mp = param["model"]
-        model = build_model(param)
+        import jax.numpy as jnp
+
+        trial_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+            mp.get("compute_dtype", "float32")
+        ]
+        model = build_model(param, dtype=trial_dtype)
         mesh = (
             make_mesh(n_data=1, devices=[device])
             if device is not None

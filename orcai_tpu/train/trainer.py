@@ -195,7 +195,7 @@ class Trainer:
 
     # -- device-resident epochs -------------------------------------------------
 
-    def build_device_epoch_fns(self, n_batches: int, batch_size: int):
+    def build_device_epoch_fns(self):
         """One-dispatch epochs over an HBM-resident dataset.
 
         Host->device transfer bandwidth, not FLOPs, bounds training on
@@ -346,9 +346,7 @@ def device_runners(
         val_ds = DeviceData(val_ds, quantize)
     xt, yt = train_ds.x, train_ds.y
     xv, yv = val_ds.x, val_ds.y
-    n_train_batches = train_ds.n_batches(batch_size)
-    n_val_batches = val_ds.n_batches(batch_size)
-    train_fn, eval_fn = trainer.build_device_epoch_fns(n_train_batches, batch_size)
+    train_fn, eval_fn = trainer.build_device_epoch_fns()
 
     def run_train(state, epoch):
         perm = epoch_permutation(train_ds.n, batch_size, train_seed, epoch)
@@ -544,8 +542,11 @@ def train(
 
     train_ds = ArrayDataset.load(data_dir / "train_dataset")
     val_ds = ArrayDataset.load(data_dir / "val_dataset")
-    train_seed = [SEED_ID_LOAD_TRAIN_DATA, orcai_parameter["seed"]]
-    val_seed = [SEED_ID_LOAD_VAL_DATA, orcai_parameter["seed"]]
+    # a falsy/absent project seed means unseeded shuffles (the shipped
+    # default parameter has "seed": null) — [ID, None] would crash
+    seed = orcai_parameter["seed"]
+    train_seed = [SEED_ID_LOAD_TRAIN_DATA, seed] if seed else None
+    val_seed = [SEED_ID_LOAD_VAL_DATA, seed] if seed else None
 
     if mp.get("call_weights") is not None:
         call_weights_dict = read_json(data_dir / "call_weights.json")
@@ -573,6 +574,7 @@ def train(
     seed_int = (
         int(orcai_parameter["seed"]) % (2**31) if orcai_parameter["seed"] else 0
     )
+    resumed_lr = None
     if load_model:
         msgr.part("Loading model")
         _, variables, _, _ = load_orcai_model(model_dir, dtype=model_dtype)
@@ -588,6 +590,9 @@ def train(
                 ),
                 state[3],
             )
+            # continue at the restored LR: ReduceLROnPlateau must never
+            # raise the effective rate back to the config value
+            resumed_lr = get_learning_rate(state[2])
     else:
         msgr.part("Building model")
         state = trainer.init_state(tuple(dataset_shape["spectrogram"]), seed=seed_int)
@@ -597,7 +602,7 @@ def train(
     initial_history: dict | None = None
     initial_best_state_bytes: bytes | None = None
     initial_counters: dict | None = None
-    initial_lr = mp["learning_rate"]
+    initial_lr = resumed_lr if resumed_lr is not None else mp["learning_rate"]
     ckpt = None
     if preemption_checkpointing:
         from orcai_tpu.train.checkpoint import TrainCheckpointer

@@ -226,3 +226,87 @@ def test_train_e2e_and_resume(tmp_path):
     )
     history2 = read_json(model_dir / "training_history.json")
     assert len(history2["loss"]) == 1
+
+
+def test_train_with_null_seed(tmp_path):
+    """The shipped default parameter has "seed": null — training must run
+    with unseeded shuffles instead of crashing in SeedSequence."""
+    import json
+
+    x, y = _synthetic_arrays(n=16)
+
+    class ListLoader:
+        def __len__(self):
+            return len(x)
+
+        def __iter__(self):
+            return iter(zip(x, y))
+
+    for split in ["train", "val"]:
+        ArrayDataset.save_from_loader(
+            ListLoader(), tmp_path / f"{split}_dataset", compression=None
+        )
+    (tmp_path / "dataset_shapes.json").write_text(
+        json.dumps({"spectrogram": list(INPUT_SHAPE), "labels": [OUT_STEPS, 2]})
+    )
+    out = tmp_path / "out"
+    out.mkdir()
+    param = {**PARAM, "name": "null-seed", "seed": None,
+             "model": {**PARAM["model"], "epochs": 1}}
+    train(tmp_path, out, orcai_parameter=param,
+          msgr=Messenger(verbosity=0), verbosity=0,
+          preemption_checkpointing=False)
+    assert (out / "null-seed" / "null-seed.msgpack").exists()
+
+
+def test_load_model_resume_keeps_reduced_lr(tmp_path):
+    """--load_model resume must continue at the optimizer's restored
+    learning rate; ReduceLROnPlateau may never RAISE the effective LR."""
+    import json
+
+    import flax.serialization
+
+    from orcai_tpu.train.trainer import get_learning_rate, set_learning_rate
+
+    x, y = _synthetic_arrays(n=16)
+
+    class ListLoader:
+        def __len__(self):
+            return len(x)
+
+        def __iter__(self):
+            return iter(zip(x, y))
+
+    for split in ["train", "val"]:
+        ArrayDataset.save_from_loader(
+            ListLoader(), tmp_path / f"{split}_dataset", compression=None
+        )
+    (tmp_path / "dataset_shapes.json").write_text(
+        json.dumps({"spectrogram": list(INPUT_SHAPE), "labels": [OUT_STEPS, 2]})
+    )
+    out = tmp_path / "out"
+    out.mkdir()
+    param = {**PARAM, "name": "lr-resume",
+             "model": {**PARAM["model"], "epochs": 1}}
+    train(tmp_path, out, orcai_parameter=param,
+          msgr=Messenger(verbosity=0), verbosity=0,
+          preemption_checkpointing=False)
+    model_dir = out / "lr-resume"
+
+    # simulate a prior ReduceLROnPlateau by rewriting the saved opt state LR
+    opt_path = model_dir / "lr-resume.opt.msgpack"
+    model = build_model(param)
+    trainer = Trainer(model, make_optimizer(param["model"]["learning_rate"]))
+    state = trainer.init_state(INPUT_SHAPE, seed=0)
+    template = jax.device_get(state[2])
+    restored_opt = flax.serialization.from_bytes(template, opt_path.read_bytes())
+    reduced = set_learning_rate(restored_opt, 1e-5)
+    opt_path.write_bytes(
+        flax.serialization.to_bytes(jax.device_get(reduced))
+    )
+
+    train(tmp_path, out, orcai_parameter=param, load_model=True,
+          msgr=Messenger(verbosity=0), verbosity=0,
+          preemption_checkpointing=False)
+    history = read_json(model_dir / "training_history.json")
+    assert history["learning_rate"][-1] == pytest.approx(1e-5)
