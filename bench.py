@@ -54,15 +54,11 @@ def ensure_model() -> Path:
 
     model_dir = MODELS_DATA_DIR / "orcai-v1"
     if not (model_dir / "orcai-v1.msgpack").exists():
-        from orcai_tpu.io import read_json
-        from orcai_tpu.io.model_store import save_orcai_model
-        from orcai_tpu.models import build_model, init_variables
-        from orcai_tpu.resources import DEFAULT_ORCAI_PARAMETER
-
-        param = read_json(DEFAULT_ORCAI_PARAMETER)
-        model = build_model(param)
-        variables = init_variables(model, (736, 171, 1), seed=42)
-        save_orcai_model(model_dir, param, variables)
+        raise RuntimeError(
+            "bundled orcai-v1 model missing; run "
+            "tools/train_bundled_model.py first (bench refuses to plant "
+            "random weights into the package data)"
+        )
     return model_dir
 
 
@@ -114,6 +110,9 @@ def measure_cpu_predict_baseline(model_dir: Path) -> float:
     param = read_json(model_dir / "orcai_parameter.json")
     variables = load_variables(model_dir / "orcai-v1.msgpack")
     kmodel = flax_to_keras_model(variables, param, (736, 171, 1))
+    # warm keras' tf.function tracing so the shorter baseline recording is
+    # not charged fixed first-call costs the 20-min TPU runs amortize away
+    kmodel.predict(np.zeros((1, 736, 171, 1), np.float32), verbose=0)
 
     t0 = time.time()
     audio, _ = load_wav(wav, sr=SR)

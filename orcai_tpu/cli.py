@@ -374,6 +374,8 @@ def cli_create_tvt_data(**kwargs):
 @click.argument("data_dir", type=DirPathR)
 @click.argument("output_dir", type=DirPathW)
 @click.option("--orcai_parameter", "-p", type=FilePathR,
+              default=str(DEFAULT_ORCAI_PARAMETER),
+              show_default="default_orcai_parameter.json",
               help="Path to the orcAI parameter file.")
 @click.option("--data_compression", "-dc",
               type=click.Choice(["GZIP", "None"], case_sensitive=False),

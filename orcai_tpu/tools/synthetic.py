@@ -123,6 +123,8 @@ def synth_recording(
     for _ in range(n_calls):
         kind = calls[rng.integers(len(calls))]
         wave, dur = synth_call(kind, rng)
+        if dur + 0.1 >= duration_s:
+            continue  # drawn call longer than the recording: skip it
         start = rng.uniform(0, duration_s - dur - 0.1)
         i0 = int(start * SR)
         gain = rng.uniform(0.5, 1.0)

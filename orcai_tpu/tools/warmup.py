@@ -54,12 +54,21 @@ def warmup(
         model_dir = bundled_model_dir("orcai-v1")
     model, variables, orcai_parameter, shape = load_orcai_model(model_dir)
     sp = orcai_parameter["spectrogram"]
+    # mirror pipeline/predict.py's predictor construction exactly (mesh on
+    # multi-device hosts): warming different executables would leave the
+    # first real predict cold
+    import jax
+
+    from orcai_tpu.parallel.mesh import make_mesh
+
+    n_devices = len(jax.devices())
     predictor = WindowPredictor(
         model,
         variables,
         snippet_len=shape["input_shape"][0],
         n_filters=len(orcai_parameter["model"]["filters"]),
         batch_size=predict_batch_size,
+        mesh=make_mesh(n_data=n_devices) if n_devices > 1 else None,
     )
 
     counts = bucket_sample_counts(max_minutes, sp["sampling_rate"], sp["n_overlap"])

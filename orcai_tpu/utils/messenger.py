@@ -86,7 +86,13 @@ class Messenger:
         if isinstance(message, str):
             text = self.indent_str * self.n_indent + prepend + message
         else:
-            text = self._fmt(message)
+            # keep severity markers and indentation for structured messages
+            formatted = self._fmt(message)
+            pad = self.indent_str * self.n_indent
+            text = "\n".join(
+                pad + prepend + line if i == 0 else pad + line
+                for i, line in enumerate(formatted.splitlines() or [""])
+            )
         click.echo(click.style(text, **style), file=self.file)
         self.n_indent += indent
 

@@ -77,3 +77,18 @@ def test_cli_filter_predictions(tmp_path):
     assert out.exists()
     lines = out.read_text().strip().splitlines()
     assert len(lines) == 2  # header + 1 kept (the 1 ms one dropped)
+
+
+def test_train_parameter_default():
+    """`orcai train` without -p must fall back to the bundled default
+    parameter file instead of passing None into train()."""
+    from click.testing import CliRunner
+
+    from orcai_tpu.cli import cli
+    from orcai_tpu.resources import DEFAULT_ORCAI_PARAMETER
+
+    result = CliRunner().invoke(cli, ["train", "--help"])
+    assert result.exit_code == 0
+    train_cmd = cli.commands["train"]
+    opt = next(p for p in train_cmd.params if p.name == "orcai_parameter")
+    assert opt.default == str(DEFAULT_ORCAI_PARAMETER)
