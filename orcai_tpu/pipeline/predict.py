@@ -424,6 +424,9 @@ def predict(
         recording_table["base_dir_recording"] = base_dir_recording
 
     if output_path is not None and output_path != "default":
+        # in table mode output_path names a folder; create it up front so
+        # every per-file write doesn't fail with the same missing-dir error
+        Path(output_path).mkdir(parents=True, exist_ok=True)
         recording_table["output_path"] = [
             Path(output_path).joinpath(
                 f"{recording}_{model_dir.stem}_predicted.txt"

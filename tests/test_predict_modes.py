@@ -165,3 +165,44 @@ def test_wav_resample_path(tmp_path):
     audio, sr = load_wav(tmp_path / "cd.wav", sr=48000)
     assert sr == 48000
     assert abs(len(audio) - 96000) <= 2
+
+
+def test_batch_mode_creates_output_folder(tmp_path, monkeypatch):
+    """Table-mode predict with -o pointing at a nonexistent folder creates
+    it instead of failing every per-file write."""
+    import shutil
+
+    import pandas as pd
+
+    from orcai_tpu.pipeline.predict import predict
+    from orcai_tpu.resources import MODELS_DATA_DIR
+    from orcai_tpu.utils import Messenger
+
+    from pathlib import Path
+
+    fixtures = Path(__file__).parent / "fixtures"
+    recs = tmp_path / "recs"
+    recs.mkdir()
+    shutil.copy(fixtures / "golden.wav", recs / "r1.wav")
+    table = pd.DataFrame(
+        {
+            "recording": ["r1"],
+            "channel": [1],
+            "base_dir_recording": [str(recs)],
+            "rel_recording_path": ["r1.wav"],
+        }
+    )
+    table_path = recs / "recording_table.csv"
+    table.to_csv(table_path, index=False)
+
+    out = tmp_path / "does" / "not" / "exist"
+    predict(
+        table_path,
+        model_dir=MODELS_DATA_DIR / "orcai-v1",
+        output_path=out,
+        overwrite=True,
+        msgr=Messenger(verbosity=0),
+        verbosity=0,
+        predict_batch_size=16,
+    )
+    assert (out / "r1_orcai-v1_predicted.txt").exists()
