@@ -287,3 +287,143 @@ def test_preprocess_spectrogram_parity():
     )
     got = preprocess_db_spectrogram_numpy(spec_db.copy(), frequencies, parameter)
     np.testing.assert_allclose(got, expected, atol=1e-12)
+
+
+# -- evaluation tables --------------------------------------------------------
+
+
+def _import_reference_module(name):
+    """Import an orcAI module whose unavailable deps are stubbed (zarr,
+    librosa); the functions under test are pure numpy/pandas."""
+    import types
+
+    stubbed = []
+    for mod, attrs in {
+        "zarr": ["open", "save_array"],
+        "librosa": ["amplitude_to_db", "fft_frequencies", "frames_to_time",
+                    "load", "stft"],
+    }.items():
+        if mod not in sys.modules:
+            try:
+                __import__(mod)
+                continue
+            except ImportError:
+                pass
+            stub = types.ModuleType(mod)
+            for attr in attrs:
+                setattr(stub, attr, None)
+            sys.modules[mod] = stub
+            stubbed.append(mod)
+    try:
+        return __import__(f"orcAI.{name}", fromlist=[name])
+    finally:
+        for mod in stubbed:
+            sys.modules.pop(mod, None)
+
+
+def test_confusion_table_parity():
+    """Our vectorized confusion table equals the reference's per-call loop."""
+    ref_test = _import_reference_module("test")
+    from orcai_tpu.train.evaluate import compute_confusion_table
+
+    rng = np.random.default_rng(13)
+    names = ["A", "B", "C"]
+    y_true = rng.integers(0, 2, size=(8, 6, 3)).astype(np.float32)
+    # sprinkle masked positions
+    y_true[rng.uniform(size=y_true.shape) < 0.2] = ref_aux.MASK_VALUE
+    y_pred = rng.uniform(size=(8, 6, 3)).astype(np.float32)
+
+    ours = compute_confusion_table(y_true, y_pred, names)
+    theirs = ref_test.compute_confusion_table(y_true, y_pred, names)
+    # align container details; the numbers must match exactly
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        ours.reset_index(drop=True).astype(float),
+        theirs.reset_index(drop=True)[ours.columns].astype(float),
+        check_dtype=False,
+    )
+
+
+def test_misclassification_tables_parity():
+    ref_test = _import_reference_module("test")
+    from orcai_tpu.train.evaluate import compute_misclassification_tables
+
+    rng = np.random.default_rng(14)
+    names = ["A", "B", "C", "D"]
+    m_true = rng.integers(0, 2, size=(200, 4)).astype(float)
+    m_true[rng.uniform(size=m_true.shape) < 0.15] = ref_aux.MASK_VALUE
+    m_pred = rng.integers(0, 2, size=(200, 4)).astype(float)
+
+    ours = compute_misclassification_tables(m_pred, m_true, "pred", "true", names)
+    theirs = ref_test.compute_misclassification_tables(
+        m_pred, m_true, "pred", "true", names
+    )
+    import pandas as pd
+
+    assert set(ours) == set(theirs)
+    for key in ours:
+        pd.testing.assert_frame_equal(
+            ours[key].astype(float), theirs[key].astype(float),
+            check_dtype=False, atol=1e-12,
+        )
+
+
+# -- prediction aggregation ---------------------------------------------------
+
+
+def test_aggregated_predictions_parity():
+    """Device overlap-add aggregation + thresholding + label table vs the
+    reference's host implementation, through the SAME model weights."""
+    from pathlib import Path as _P
+
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from orcai_tpu.io.keras_convert import keras_to_flax_variables
+    from orcai_tpu.ops.overlap import WindowPredictor
+    from orcai_tpu.pipeline.predict import compute_labels
+    from orcai_tpu.utils.rle import runs_from_binary_matrix
+
+    ref_predict = _import_reference_module("predict")
+
+    keras.utils.set_random_seed(77)
+    kmodel = ref_arch.res_net_LSTM_arch(
+        INPUT_SHAPE, len(SMALL_PARAM["calls"]), **SMALL_PARAM["model"]
+    )
+    variables = keras_to_flax_variables(kmodel, SMALL_PARAM)
+    flax_model = build_model(SMALL_PARAM)
+
+    rng = np.random.default_rng(15)
+    spec = rng.uniform(size=(200, 21)).astype(np.float32)
+    shape = {"input_shape": list(INPUT_SHAPE), "num_labels": 3}
+    param = {"model": {"filters": SMALL_PARAM["model"]["filters"]},
+             "calls": SMALL_PARAM["calls"]}
+
+    agg_ref, cnt_ref = ref_predict.compute_aggregated_predictions(
+        _P("synthetic.wav"), spec, kmodel, param, shape,
+        msgr=ref_aux.Messenger(verbosity=0),
+    )
+
+    predictor = WindowPredictor(
+        flax_model, variables,
+        snippet_len=INPUT_SHAPE[0],
+        n_filters=len(SMALL_PARAM["model"]["filters"]),
+        batch_size=2,
+    )
+    agg_ours, cnt_ours = predictor.aggregate(jnp.asarray(spec))
+
+    np.testing.assert_array_equal(cnt_ours, cnt_ref)
+    np.testing.assert_allclose(agg_ours, agg_ref, atol=3e-5)
+
+    starts_r, stops_r, names_r = ref_predict.compute_binary_predictions(
+        agg_ref, cnt_ref, SMALL_PARAM["calls"]
+    )
+    binary = predictor.binary_predictions(agg_ours, cnt_ours, threshold=0.5)
+    starts_o, stops_o, names_o = runs_from_binary_matrix(
+        binary, SMALL_PARAM["calls"]
+    )
+    down = 2 ** len(SMALL_PARAM["model"]["filters"])
+    table_r = ref_predict.compute_labels(starts_r, stops_r, names_r, down, "*")
+    table_o = compute_labels(starts_o, stops_o, names_o, down, "*")
+    pd.testing.assert_frame_equal(table_o, table_r, check_dtype=False)
