@@ -427,3 +427,40 @@ def test_aggregated_predictions_parity():
     table_r = ref_predict.compute_labels(starts_r, stops_r, names_r, down, "*")
     table_o = compute_labels(starts_o, stops_o, names_o, down, "*")
     pd.testing.assert_frame_equal(table_o, table_r, check_dtype=False)
+
+
+def test_filter_snippet_table_parity():
+    """Same seeded RNG -> bit-identical thinning of label-free snippets."""
+    import pandas as pd
+
+    from orcai_tpu.pipeline.snippets import filter_snippet_table
+    from orcai_tpu.utils import Messenger
+
+    ref_snip = _import_reference_module("snippets")
+
+    rng = np.random.default_rng(21)
+    calls = ["A", "B"]
+    n = 300
+    table = pd.DataFrame(
+        {
+            "recording": ["r"] * n,
+            "data_type": rng.choice(["train", "val", "test"], n),
+            "row_start": np.arange(n) * 10,
+            "row_stop": np.arange(n) * 10 + 8,
+            "A": np.where(rng.uniform(size=n) < 0.3, 1.5, 0.0),
+            "B": np.where(rng.uniform(size=n) < 0.2, 0.7, 0.0),
+        }
+    )
+    param = {"calls": calls, "snippets": {"fraction_removal": 0.9}}
+
+    ours = filter_snippet_table(
+        table.copy(), param, rng=np.random.default_rng([2, 123]),
+        msgr=Messenger(verbosity=0),
+    )
+    theirs = ref_snip._filter_snippet_table(
+        table.copy(), param, rng=np.random.default_rng([2, 123]),
+        msgr=ref_aux.Messenger(verbosity=0),
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(ours, theirs)
