@@ -464,3 +464,37 @@ def test_filter_snippet_table_parity():
     import pandas.testing as pdt
 
     pdt.assert_frame_equal(ours, theirs)
+
+
+def test_get_call_weights_parity():
+    """Weight math identical across methods, reference fed via tf.data."""
+    from orcai_tpu.pipeline.snippets import get_call_weights
+
+    ref_snip = _import_reference_module("snippets")
+
+    rng = np.random.default_rng(22)
+    names = ["A", "B", "C"]
+    ys = [
+        np.where(rng.uniform(size=(6, 3)) < 0.3, 1.0, 0.0).astype(np.float32)
+        for _ in range(10)
+    ]
+    xs = [np.zeros((4, 2, 1), np.float32) for _ in ys]
+
+    class Loader:
+        def __len__(self):
+            return len(ys)
+
+        def __iter__(self):
+            return iter(zip(xs, ys))
+
+    dataset = tf.data.Dataset.from_tensor_slices(
+        (np.stack(xs), np.stack(ys))
+    )
+    for method in ("balanced", "max", "uniform"):
+        ours = get_call_weights(Loader(), names, method=method)
+        theirs = ref_snip._get_call_weights(dataset, len(ys), names, method)
+        if method == "uniform":
+            theirs = dict(zip(names, theirs))  # ref returns an array here
+        assert set(ours) == set(theirs)
+        for k in names:
+            assert ours[k] == pytest.approx(float(theirs[k]), rel=1e-6)
