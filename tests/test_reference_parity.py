@@ -498,3 +498,32 @@ def test_get_call_weights_parity():
         assert set(ours) == set(theirs)
         for k in names:
             assert ours[k] == pytest.approx(float(theirs[k]), rel=1e-6)
+
+
+def test_default_config_assets_parity():
+    """The bundled default JSONs carry the reference's schema: same keys
+    recursively (values may differ only where documented, e.g. seed)."""
+    import json
+
+    ref_defaults = REFERENCE_SRC / "orcAI" / "defaults"
+    from orcai_tpu.resources import (
+        DEFAULT_CALL_DURATION_LIMITS,
+        DEFAULT_HPS_PARAMETER,
+        DEFAULT_ORCAI_PARAMETER,
+    )
+
+    def key_tree(obj):
+        if isinstance(obj, dict):
+            return {k: key_tree(v) for k, v in obj.items()}
+        return None
+
+    pairs = [
+        (DEFAULT_ORCAI_PARAMETER, ref_defaults / "default_orcai_parameter.json"),
+        (DEFAULT_HPS_PARAMETER, ref_defaults / "default_hps_parameter.json"),
+        (DEFAULT_CALL_DURATION_LIMITS,
+         ref_defaults / "default_call_duration_limits.json"),
+    ]
+    for ours_path, ref_path in pairs:
+        ours = json.loads(Path(ours_path).read_text())
+        theirs = json.loads(ref_path.read_text())
+        assert key_tree(ours) == key_tree(theirs), ours_path
