@@ -126,12 +126,21 @@ class _ShardStack:
         return self.shape[0]
 
     def __getitem__(self, idx):
+        n = len(self)
         if isinstance(idx, (int, np.integer)):
+            idx = int(idx)
+            if idx < 0:
+                idx += n
+            if not 0 <= idx < n:
+                raise IndexError(f"index {idx} out of bounds for size {n}")
             s = int(np.searchsorted(self.offsets, idx, "right")) - 1
-            return self.shards[s][int(idx) - int(self.offsets[s])]
+            return self.shards[s][idx - int(self.offsets[s])]
         if isinstance(idx, slice):
-            idx = np.arange(*idx.indices(len(self)))
+            idx = np.arange(*idx.indices(n))
         idx = np.asarray(idx)
+        idx = np.where(idx < 0, idx + n, idx)
+        if idx.size and (idx.min() < 0 or idx.max() >= n):
+            raise IndexError(f"index out of bounds for size {n}")
         s = np.searchsorted(self.offsets, idx, "right") - 1
         out = np.empty((len(idx), *self.shape[1:]), self.dtype)
         for shard_i in np.unique(s):
@@ -178,6 +187,13 @@ class ArrayDataset:
         path = Path(path)
         if path.exists() and any(path.iterdir()) and not overwrite:
             raise FileExistsError(f"File {path} already exists.")
+        if len(loader) == 0:
+            # refuse BEFORE clearing: an empty loader must not destroy a
+            # previously materialized dataset
+            raise ValueError(
+                f"Refusing to write an empty dataset to {path}: the snippet "
+                "loader produced no samples."
+            )
         path.mkdir(parents=True, exist_ok=True)
         # clear any previous materialization: leftovers from an earlier run
         # with a different compression/shard count must not shadow the new

@@ -47,6 +47,7 @@ from orcai_tpu.train.trainer import (
     device_runners,
     fit,
     make_optimizer,
+    resolve_compute_dtype,
     streaming_runners,
 )
 from orcai_tpu.utils import (
@@ -268,12 +269,7 @@ def hyperparameter_search(
 
         param = _apply_config(orcai_parameter, hps_parameter, cfg)
         mp = param["model"]
-        import jax.numpy as jnp
-
-        trial_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
-            mp.get("compute_dtype", "float32")
-        ]
-        model = build_model(param, dtype=trial_dtype)
+        model = build_model(param, dtype=resolve_compute_dtype(mp))
         mesh = (
             make_mesh(n_data=1, devices=[device])
             if device is not None

@@ -54,6 +54,13 @@ def _count_params(tree) -> int:
     return int(sum(np.prod(x.shape) for x in jax.tree.leaves(tree)))
 
 
+def resolve_compute_dtype(model_parameter: dict):
+    """model.compute_dtype config key -> jnp dtype (default float32)."""
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        model_parameter.get("compute_dtype", "float32")
+    ]
+
+
 def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
     """Adam with a host-adjustable learning rate (for ReduceLROnPlateau)."""
     return optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
@@ -528,9 +535,7 @@ def train(
         # optional schema extension: model.compute_dtype ("bfloat16" gives
         # ~1.6x faster steps, parameters stay float32); reference-format
         # parameter files without the key train in float32
-        model_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
-            mp.get("compute_dtype", "float32")
-        ]
+        model_dtype = resolve_compute_dtype(mp)
         msgr.info(f"Compute dtype: {jnp.dtype(model_dtype).name}")
 
     msgr.part(f"Loading training and validation datasets from {data_dir}")
@@ -571,9 +576,7 @@ def train(
         mesh=mesh_for_batch(mp["batch_size"]),
     )
 
-    seed_int = (
-        int(orcai_parameter["seed"]) % (2**31) if orcai_parameter["seed"] else 0
-    )
+    seed_int = int(seed) % (2**31) if seed else 0
     resumed_lr = None
     if load_model:
         msgr.part("Loading model")

@@ -86,13 +86,15 @@ class Messenger:
         if isinstance(message, str):
             text = self.indent_str * self.n_indent + prepend + message
         else:
-            # keep severity markers and indentation for structured messages
-            formatted = self._fmt(message)
-            pad = self.indent_str * self.n_indent
-            text = "\n".join(
-                pad + prepend + line if i == 0 else pad + line
-                for i, line in enumerate(formatted.splitlines() or [""])
-            )
+            # _fmt already applies the indentation; only insert the severity
+            # marker after the first line's pad
+            text = self._fmt(message)
+            if prepend:
+                pad = self.indent_str * self.n_indent
+                if text.startswith(pad):
+                    text = pad + prepend + text[len(pad):]
+                else:
+                    text = prepend + text
         click.echo(click.style(text, **style), file=self.file)
         self.n_indent += indent
 

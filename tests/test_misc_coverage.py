@@ -203,3 +203,46 @@ def test_labels_blank_possibility_cells_error(tmp_path):
         create_label_arrays(
             table_path, tmp_path, orcai_parameter=param, verbosity=0
         )
+
+
+def test_dataset_empty_loader_preserves_previous(tmp_path):
+    """An empty loader must refuse BEFORE destroying an existing dataset."""
+    import numpy as np
+    import pytest
+
+    from orcai_tpu.io.dataset import ArrayDataset
+
+    loader, x, _ = _toy_loader(n=6)
+    ArrayDataset.save_from_loader(loader, tmp_path / "ds", compression=None)
+
+    class Empty:
+        def __len__(self):
+            return 0
+
+        def __iter__(self):
+            return iter(())
+
+    with pytest.raises(ValueError, match="empty"):
+        ArrayDataset.save_from_loader(
+            Empty(), tmp_path / "ds", compression=None, overwrite=True
+        )
+    ds = ArrayDataset.load(tmp_path / "ds")  # previous dataset intact
+    assert len(ds) == 6
+    np.testing.assert_array_equal(np.asarray(ds.x), x)
+
+
+def test_shardstack_negative_indices(tmp_path):
+    import numpy as np
+    import pytest
+
+    from orcai_tpu.io.dataset import ArrayDataset
+
+    loader, x, _ = _toy_loader(n=10)
+    ArrayDataset.save_from_loader(
+        loader, tmp_path / "ds", compression=None, shard_size=4
+    )
+    ds = ArrayDataset.load(tmp_path / "ds")
+    np.testing.assert_array_equal(ds.x[-1], x[-1])
+    np.testing.assert_array_equal(ds.x[np.array([0, -1])], x[[0, -1]])
+    with pytest.raises(IndexError):
+        ds.x[10]
