@@ -22,6 +22,7 @@ from __future__ import annotations
 import gzip
 import json
 import math
+import shutil
 from pathlib import Path
 
 import numpy as np
@@ -138,6 +139,15 @@ class _ShardStack:
         if isinstance(idx, slice):
             idx = np.arange(*idx.indices(n))
         idx = np.asarray(idx)
+        if idx.dtype == np.bool_:
+            # boolean masks would be misread as 0/1 integer indices by
+            # searchsorted below; convert to the rows they select
+            if idx.shape != (n,):
+                raise IndexError(
+                    f"boolean mask of shape {idx.shape} does not match "
+                    f"dataset length {n}"
+                )
+            idx = np.flatnonzero(idx)
         idx = np.where(idx < 0, idx + n, idx)
         if idx.size and (idx.min() < 0 or idx.max() >= n):
             raise IndexError(f"index out of bounds for size {n}")
@@ -195,12 +205,14 @@ class ArrayDataset:
                 "loader produced no samples."
             )
         path.mkdir(parents=True, exist_ok=True)
-        # clear any previous materialization: leftovers from an earlier run
-        # with a different compression/shard count must not shadow the new
-        # files (e.g. an old .npy.gz next to a fresh .npy)
-        for old in path.glob("*.npy*"):
-            old.unlink()
-        (path / "meta.json").unlink(missing_ok=True)
+        # write into a temp subdirectory and swap only after meta.json lands:
+        # a loader that raises mid-iteration (or whose __len__ disagrees with
+        # its iterator) must not destroy a previous materialization
+        tmp = path / ".tmp_write"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        tmp.mkdir()
+        out_dir = tmp
 
         n = len(loader)
         shards = []
@@ -213,8 +225,8 @@ class ArrayDataset:
                 return
             xs = np.stack(shard_x)
             ys = np.stack(shard_y)
-            _write_npy(path / f"spectrogram_{shard_idx:05d}.npy", xs, compression)
-            _write_npy(path / f"labels_{shard_idx:05d}.npy", ys, compression)
+            _write_npy(out_dir / f"spectrogram_{shard_idx:05d}.npy", xs, compression)
+            _write_npy(out_dir / f"labels_{shard_idx:05d}.npy", ys, compression)
             shards.append(len(xs))
             shard_idx += 1
             shard_x, shard_y = [], []
@@ -234,17 +246,27 @@ class ArrayDataset:
                 "loader produced no samples."
             )
 
-        sample_x = _read_npy(path / "spectrogram_00000.npy", compression)
+        sample_x = _read_npy(out_dir / "spectrogram_00000.npy", compression)
         meta = {
             "n": int(n),
             "spectrogram_shape": list(sample_x.shape[1:]),
             "labels_shape": list(
-                _read_npy(path / "labels_00000.npy", compression).shape[1:]
+                _read_npy(out_dir / "labels_00000.npy", compression).shape[1:]
             ),
             "shards": shards,
             "compression": compression,
         }
-        (path / "meta.json").write_text(json.dumps(meta, indent=2))
+        (out_dir / "meta.json").write_text(json.dumps(meta, indent=2))
+
+        # the new dataset is complete — now clear any previous
+        # materialization (leftovers from an earlier run with a different
+        # compression/shard count must not shadow the new files) and swap in
+        for old in path.glob("*.npy*"):
+            old.unlink()
+        (path / "meta.json").unlink(missing_ok=True)
+        for f in out_dir.iterdir():
+            f.rename(path / f.name)
+        out_dir.rmdir()
 
     @classmethod
     def load(cls, path: Path | str) -> "ArrayDataset":

@@ -22,11 +22,23 @@ Semantics matched to the reference numerics:
 Recordings of arbitrary length are padded to power-of-two frame buckets so
 XLA compiles a handful of shapes, with validity masks keeping the statistics
 exact.
+
+The frontend is TILED: audio is uploaded in fixed-size overlapping chunks
+(one per 32768-frame tile) and each tile's DFT magnitudes are computed as
+the later chunks are still in flight, so on remote-dispatch backends the
+host->device transfer overlaps compute instead of serializing before one
+monolithic program. Tiling also keeps executables small (the per-tile DFT
+program is compiled once for every recording longer than the tile) and the
+global statistics stay exact: dB is a monotone non-decreasing function of
+|S|, so the nearest-method percentiles of the cropped dB values are the
+transformed order statistics of the cropped magnitudes, picked from one
+masked sort over the resident magnitude tiles (same trick as the streaming
+predictor, ops/streaming.py).
 """
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +51,7 @@ enable_persistent_cache()
 _AMIN = 1e-5  # librosa amplitude_to_db amin
 _TOP_DB = 80.0
 _MIN_BUCKET = 2048  # minimum padded frame count (bounds recompilation)
+_TILE_FRAMES = 32768  # frames per upload/DFT tile (~16.8 MB of int16 audio)
 
 
 def fft_frequencies(sr: int, n_fft: int) -> np.ndarray:
@@ -146,19 +159,23 @@ def pallas_frontend_enabled(tpad: int) -> bool:
 
 
 @lru_cache(maxsize=None)
-def _build_spectrogram_fn(
+def _build_tile_mag_fn(
     n_fft: int,
     hop: int,
     lo_idx: int,
     hi_idx: int,
+    tile: int,
     precision: str,
     use_pallas: bool = False,
 ):
-    """jit'd (padded_frames_audio, n_valid_frames) -> normalized (Tpad, bins).
+    """jit'd (audio_tile, n_valid) -> (cropped |S| (tile, bins), tile_max).
 
-    The DFT matrices are passed as arguments, not closure constants: large
-    embedded constants stall compilation on remote-dispatch TPU backends and
-    defeat the persistent compilation cache.
+    One executable per tile size covers recordings of every length; the
+    tile max is taken over the FULL spectrum of valid frames (the dB
+    reference of librosa.amplitude_to_db(ref=np.max)). The DFT matrices are
+    passed as arguments, not closure constants: large embedded constants
+    stall compilation on remote-dispatch TPU backends and defeat the
+    persistent compilation cache.
     """
     C_dev = jnp.asarray(_dft_mats(n_fft)[0])
     S_dev = jnp.asarray(_dft_mats(n_fft)[1])
@@ -168,55 +185,69 @@ def _build_spectrogram_fn(
     assert n_fft % hop == 0, "frontend requires hop dividing n_fft"
 
     @jax.jit
-    def spec_fn_impl(
-        padded: jnp.ndarray,
-        n_valid: jnp.ndarray,
-        idx_lo: jnp.ndarray,
-        idx_hi: jnp.ndarray,
-        C: jnp.ndarray,
-        S: jnp.ndarray,
-    ) -> jnp.ndarray:
-        tpad = (padded.shape[0] - n_fft) // hop + 1
+    def tile_fn(audio_tile, n_valid, C, S):
         mag = framed_dft_magnitude(
-            padded, C, S, n_fft=n_fft, hop=hop, tpad=tpad,
+            audio_tile, C, S, n_fft=n_fft, hop=hop, tpad=tile,
             precision=prec, use_pallas=use_pallas,
         )
+        valid = (jnp.arange(tile) < n_valid)[:, None]
+        tile_max = jnp.max(jnp.where(valid, mag, -jnp.inf))
+        return mag[:, lo_idx:hi_idx], tile_max
 
-        valid = (jnp.arange(tpad) < n_valid)[:, None]  # (Tpad, 1)
+    return lambda audio_tile, n_valid: tile_fn(audio_tile, n_valid, C_dev, S_dev)
 
-        # dB relative to the global max over the *full* spectrum of valid frames
-        ref = jnp.max(jnp.where(valid, mag, -jnp.inf))
-        db = 20.0 * jnp.log10(jnp.maximum(mag, _AMIN)) - 20.0 * jnp.log10(
-            jnp.maximum(ref, _AMIN)
-        )
-        db = jnp.maximum(db, -_TOP_DB)  # top_db clamp; global max is 0 dB
 
-        dbc = db[:, lo_idx:hi_idx]  # frequency crop
+@lru_cache(maxsize=None)
+def _build_finalize_fn(n_tiles: int, tile: int):
+    """jit'd (mag tiles, tile maxes, n_valid, idx_lo, idx_hi) -> (Tpad, bins).
 
-        # global nearest-percentiles over valid entries: masked sort, then
-        # pick the host-computed nearest-method indices
-        flat = jnp.where(valid, dbc, jnp.inf).ravel()
+    Global statistics + normalization over the resident magnitude tiles:
+    dB reference = max of tile maxes; percentiles via one masked sort of the
+    cropped magnitudes (dB is monotone non-decreasing in |S|, so the k-th
+    smallest cropped dB is the dB transform of the k-th smallest cropped
+    magnitude — including through the amin and top_db plateaus).
+    """
+
+    @jax.jit
+    def finalize_fn(tiles, maxes, n_valid, idx_lo, idx_hi):
+        mag = jnp.concatenate(tiles, axis=0)  # (n_tiles * tile, bins)
+        bucket = n_tiles * tile
+        ref = jnp.max(maxes)
+        valid = (jnp.arange(bucket) < n_valid)[:, None]
+
+        flat = jnp.where(valid, mag, jnp.inf).ravel()
         flat = jnp.sort(flat)
-        lo = flat[idx_lo]
-        hi = flat[idx_hi]
+        ref20 = 20.0 * jnp.log10(jnp.maximum(ref, _AMIN))
 
+        def db_of(m):
+            return jnp.maximum(
+                20.0 * jnp.log10(jnp.maximum(m, _AMIN)) - ref20, -_TOP_DB
+            )
+
+        lo = db_of(flat[idx_lo])
+        hi = db_of(flat[idx_hi])
+        db = db_of(mag)
         # clip + min-max normalize; with nearest percentiles the clipped
         # minimum/maximum are exactly lo/hi. The final clip keeps f32
         # rounding from overshooting the [0, 1] contract.
-        out = (jnp.clip(dbc, lo, hi) - lo) / (hi - lo)
+        out = (jnp.clip(db, lo, hi) - lo) / (hi - lo)
         return jnp.clip(out, 0.0, 1.0).astype(jnp.float32)
 
-    def spec_fn(padded, n_valid, idx_lo, idx_hi):
-        return spec_fn_impl(padded, n_valid, idx_lo, idx_hi, C_dev, S_dev)
-
-    return spec_fn
+    return finalize_fn
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _pad_on_device(audio: jnp.ndarray, total: int, n_fft: int) -> jnp.ndarray:
-    """Center audio in a zeros buffer of `total` samples (device-side)."""
-    buf = jnp.zeros((total,), dtype=audio.dtype)
-    return jax.lax.dynamic_update_slice(buf, audio, (n_fft // 2,))
+@lru_cache(maxsize=None)
+def _zero_mag_tile_fn(tile: int, n_bins: int):
+    """jit'd () -> (zeros (tile, bins), -inf max) for all-padding tiles."""
+
+    @jax.jit
+    def zero_fn():
+        return (
+            jnp.zeros((tile, n_bins), jnp.float32),
+            jnp.asarray(-jnp.inf, jnp.float32),
+        )
+
+    return zero_fn
 
 
 def _bucket_frames(n_frames: int) -> int:
@@ -224,6 +255,34 @@ def _bucket_frames(n_frames: int) -> int:
     while b < n_frames:
         b *= 2
     return b
+
+
+def _tile_plan(n_frames: int) -> tuple[int, int, int]:
+    """(tile, n_tiles, n_real_tiles) for a recording of n_frames frames."""
+    bucket = _bucket_frames(n_frames)
+    tile = min(_TILE_FRAMES, bucket)
+    return tile, bucket // tile, -(-n_frames // tile)
+
+
+def _audio_tile_chunk(audio: np.ndarray, t: int, tile: int, n_fft: int, hop: int):
+    """Host chunk of (tile - 1) * hop + n_fft samples for frames
+    [t*tile, (t+1)*tile), including the centered-STFT zero padding.
+
+    Interior chunks are raw views of the (possibly memory-mapped) audio —
+    zero host copies; only the first and last chunks materialize a small
+    padded buffer.
+    """
+    n = audio.shape[0]
+    tlen = (tile - 1) * hop + n_fft
+    s0 = t * tile * hop - n_fft // 2
+    s1 = s0 + tlen
+    if s0 >= 0 and s1 <= n:
+        return audio[s0:s1]
+    chunk = np.zeros((tlen,), audio.dtype)
+    lo, hi = max(0, s0), min(n, s1)
+    if hi > lo:
+        chunk[lo - s0 : hi - s0] = audio[lo:hi]
+    return chunk
 
 
 def compute_spectrogram_device(
@@ -253,29 +312,36 @@ def compute_spectrogram_device(
     frequencies = fft_frequencies(sampling_rate, n_fft)
     times = frames_to_time(n_frames, sampling_rate, hop_length)
     lo_idx, hi_idx = freq_crop_indices(frequencies, freq_range)
+    n_bins = hi_idx - lo_idx
 
-    tpad = _bucket_frames(n_frames)
-    total = (tpad - 1) * hop_length + n_fft
-    # with hop == n_fft the bucket buffer can fall short of centering the
-    # last samples (dynamic_update_slice would silently clamp and misalign
-    # every frame); grow to the next bucket until the audio fits
-    while total < n_fft // 2 + n:
-        tpad *= 2
-        total = (tpad - 1) * hop_length + n_fft
-
-    use_pallas = pallas_frontend_enabled(tpad)
-    fn = _build_spectrogram_fn(
-        n_fft, hop_length, lo_idx, hi_idx, precision, use_pallas
+    tile, n_tiles, n_real = _tile_plan(n_frames)
+    tile_fn = _build_tile_mag_fn(
+        n_fft, hop_length, lo_idx, hi_idx, tile, precision,
+        use_pallas=pallas_frontend_enabled(tile),
     )
-    n_elem = n_frames * (hi_idx - lo_idx)
-    # upload the RAW samples (possibly an int16 mmap streaming straight from
-    # the page cache) and pad to the frame bucket ON DEVICE: the bucket can
-    # add up to 2x frames, so host-side padding would inflate the
-    # host->device transfer - the dominant cost on tunneled backends - and
-    # force an extra host copy of the whole recording
-    padded = _pad_on_device(jnp.asarray(audio), total, n_fft)
-    out = fn(
-        padded,
+
+    # issue one chunk upload + one tile DFT per tile without blocking: on
+    # remote-dispatch backends chunk t+1's transfer is in flight while tile
+    # t's DFT runs, so the dominant upload cost overlaps compute instead of
+    # serializing ahead of one monolithic program. Interior chunks are raw
+    # (possibly memory-mapped int16) views — the only host copy is the
+    # first/last chunk's zero padding.
+    mags, maxes = [], []
+    for t in range(n_real):
+        chunk = _audio_tile_chunk(audio, t, tile, n_fft, hop_length)
+        n_valid = min(tile, n_frames - t * tile)
+        m, mx = tile_fn(jnp.asarray(chunk), jnp.asarray(n_valid, jnp.int32))
+        mags.append(m)
+        maxes.append(mx)
+    if n_real < n_tiles:
+        zm, zx = _zero_mag_tile_fn(tile, n_bins)()
+        mags.extend([zm] * (n_tiles - n_real))
+        maxes.extend([zx] * (n_tiles - n_real))
+
+    n_elem = n_frames * n_bins
+    out = _build_finalize_fn(n_tiles, tile)(
+        tuple(mags),
+        jnp.stack(maxes),
         jnp.asarray(n_frames, dtype=jnp.int32),
         jnp.asarray(nearest_quantile_index(float(quantiles[0]), n_elem), jnp.int32),
         jnp.asarray(nearest_quantile_index(float(quantiles[1]), n_elem), jnp.int32),

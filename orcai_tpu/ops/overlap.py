@@ -82,6 +82,7 @@ class WindowPredictor:
         )
         self._chunk_fns: dict[tuple, object] = {}
         self._pad_fns: dict[tuple, object] = {}
+        self._zero_fns: dict[tuple, object] = {}
 
     def _plan_chunk_size(self, n_win: int) -> int:
         """Windows per compiled chunk: the batch-size multiple covering n_win,
@@ -97,8 +98,15 @@ class WindowPredictor:
     # -- compiled bodies --------------------------------------------------------
 
     def _build_chunk_fn(self, spec_len: int, n_bins: int, wpc: int):
-        """(variables, spec (spec_len, bins) in HBM, f0, n_win_valid) ->
-        (prob_sum, count) for the wpc windows starting at frame f0.
+        """(agg, count, variables, spec in HBM, f0, w0, n_win_valid) ->
+        updated (agg, count) after scatter-adding the wpc windows starting
+        at frame f0 into the DONATED global output grid.
+
+        Accumulation stays on device so a whole predict performs exactly ONE
+        device->host fetch at the end — on remote-dispatch backends the
+        first fetch permanently degrades the link's host->device bandwidth
+        ~30x (measured: 1.3 GB/s -> 43 MB/s, tools/tunnel_probe.py), so
+        per-chunk readbacks would poison every subsequent upload.
 
         Model weights are an argument, not a closure constant: large embedded
         constants stall compilation on remote-dispatch TPU backends and
@@ -109,22 +117,28 @@ class WindowPredictor:
         snippet_len, shift = self.snippet_len, self.shift
         out_len, shift_out = self.out_len, self.shift_out
         bsz = min(self.batch_size, wpc)
-        n_out_chunk = (wpc - 1) * shift_out + out_len
 
         if mesh is not None:
             repl = NamedSharding(mesh, P())
             jit_kwargs = dict(
-                in_shardings=(repl, repl, repl, repl), out_shardings=repl
+                in_shardings=(repl,) * 7, out_shardings=(repl, repl)
             )
             batch_sharding = NamedSharding(mesh, P(None, "data"))
         else:
             jit_kwargs = {}
             batch_sharding = None
 
-        @partial(jax.jit, **jit_kwargs)
+        @partial(jax.jit, donate_argnums=(0, 1), **jit_kwargs)
         def chunk_fn(
-            variables, spec: jnp.ndarray, f0: jnp.ndarray, n_win_valid: jnp.ndarray
+            agg: jnp.ndarray,
+            count: jnp.ndarray,
+            variables,
+            spec: jnp.ndarray,
+            f0: jnp.ndarray,
+            w0: jnp.ndarray,
+            n_win_valid: jnp.ndarray,
         ):
+            n_out_pad = agg.shape[0] - 1  # last row is the trash row
             chunk = jax.lax.dynamic_slice(
                 spec, (f0, 0), ((wpc + 1) * shift, n_bins)
             )
@@ -146,16 +160,14 @@ class WindowPredictor:
             valid = jnp.arange(wpc) < n_win_valid
             n_labels = preds.shape[-1]
             win_ids = jnp.arange(wpc)[:, None]
-            rows = win_ids * shift_out + jnp.arange(out_len)[None, :]
-            rows = jnp.where(valid[:, None], rows, n_out_chunk)  # trash row
+            rows = (w0 + win_ids) * shift_out + jnp.arange(out_len)[None, :]
+            rows = jnp.where(valid[:, None], rows, n_out_pad)  # trash row
             flat_rows = rows.reshape(-1)
             flat_preds = preds.reshape(-1, n_labels)
 
-            prob_sum = jnp.zeros((n_out_chunk + 1, n_labels), jnp.float32)
-            prob_sum = prob_sum.at[flat_rows].add(flat_preds)
-            count = jnp.zeros((n_out_chunk + 1,), jnp.float32)
+            agg = agg.at[flat_rows].add(flat_preds)
             count = count.at[flat_rows].add(1.0)
-            return prob_sum[:-1], count[:-1]
+            return agg, count
 
         return chunk_fn
 
@@ -184,16 +196,50 @@ class WindowPredictor:
 
     # -- host driver ------------------------------------------------------------
 
-    def aggregate(
-        self, spectrogram, n_frames: int | None = None
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Spectrogram -> (aggregated (T//down, L), overlap_count).
+    def n_labels(self, n_bins: int) -> int:
+        """Model output label count, discovered without running the model
+        (eval_shape traces only: no compute, no transfers)."""
+        if not hasattr(self, "_n_labels"):
+            out = jax.eval_shape(
+                lambda v, x: self.model.apply(v, x, train=False),
+                self.variables,
+                jax.ShapeDtypeStruct(
+                    (1, self.snippet_len, n_bins, 1), jnp.float32
+                ),
+            )
+            self._n_labels = int(out.shape[-1])
+        return self._n_labels
 
-        `spectrogram` is either a host (T, bins) array, or a device-resident
-        (possibly padded) array with `n_frames` giving the valid frame count
-        (the fused predict path — no spectrogram ever crosses the host
-        boundary). Averaged sigmoid probabilities per output step, matching
-        the reference's compute_aggregated_predictions (predict.py:235-295).
+    def _zero_grid(self, n_out_pad: int, n_labels: int):
+        """Fresh donated (agg, count) device buffers with a trash row."""
+        key = (n_out_pad, n_labels)
+        if key not in self._zero_fns:
+            repl = (
+                NamedSharding(self.mesh, P()) if self.mesh is not None else None
+            )
+            kw = dict(out_shardings=(repl, repl)) if repl is not None else {}
+
+            @partial(jax.jit, **kw)
+            def zeros_fn():
+                return (
+                    jnp.zeros((n_out_pad + 1, n_labels), jnp.float32),
+                    jnp.zeros((n_out_pad + 1,), jnp.float32),
+                )
+
+            self._zero_fns[key] = zeros_fn
+        return self._zero_fns[key]()
+
+    def aggregate_device(self, spectrogram, n_frames: int | None = None):
+        """Spectrogram -> device (prob_sum (n_out_pad+1, L), count) buffers.
+
+        Dispatches the full windowed inference + scatter-add overlap chain
+        WITHOUT any device->host transfer; callers fetch the (tiny) result
+        grid whenever they choose. This split is what lets batch predict
+        front-load every upload/dispatch for a wave of recordings before the
+        first fetch (the first fetch permanently drops remote-tunnel upload
+        bandwidth ~30x; see _build_chunk_fn).
+
+        Returns (agg_sum_dev, count_dev, n_out_total).
         """
         if n_frames is None:
             t = int(spectrogram.shape[0])
@@ -220,29 +266,51 @@ class WindowPredictor:
             )
         chunk_fn = self._chunk_fns[key]
 
-        agg = None
-        count = np.zeros((n_out_total,), np.float32)
+        # global output grid covering every chunk's window span (valid
+        # windows never write past n_out_total; padded rows stay zero)
+        n_out_pad = (n_chunks * wpc - 1) * self.shift_out + self.out_len
+        agg, count = self._zero_grid(n_out_pad, self.n_labels(n_bins))
         for c in range(n_chunks):
             w0 = c * wpc
             n_valid = min(wpc, n_win - w0)
-            prob_sum, cnt = chunk_fn(
+            agg, count = chunk_fn(
+                agg,
+                count,
                 self.variables,
                 spec_dev,
                 jnp.asarray(w0 * self.shift, jnp.int32),
+                jnp.asarray(w0, jnp.int32),
                 jnp.asarray(n_valid, jnp.int32),
             )
-            prob_sum = np.asarray(prob_sum)
-            cnt = np.asarray(cnt)
-            if agg is None:
-                agg = np.zeros((n_out_total, prob_sum.shape[-1]), np.float32)
-            o0 = w0 * self.shift_out
-            o1 = min(o0 + prob_sum.shape[0], n_out_total)
-            agg[o0:o1] += prob_sum[: o1 - o0]
-            count[o0:o1] += cnt[: o1 - o0]
+        return agg, count, n_out_total
 
+    @staticmethod
+    def fetch_aggregated(
+        agg_dev, count_dev, n_out_total: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """ONE device->host fetch -> (averaged probs (T//down, L), count)."""
+        agg = np.asarray(agg_dev)[:n_out_total]
+        count = np.asarray(count_dev)[:n_out_total]
         valid = count > 0
+        agg = agg.copy()
         agg[valid] /= count[valid, None]
         return agg, count
+
+    def aggregate(
+        self, spectrogram, n_frames: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Spectrogram -> (aggregated (T//down, L), overlap_count).
+
+        `spectrogram` is either a host (T, bins) array, or a device-resident
+        (possibly padded) array with `n_frames` giving the valid frame count
+        (the fused predict path — no spectrogram ever crosses the host
+        boundary). Averaged sigmoid probabilities per output step, matching
+        the reference's compute_aggregated_predictions (predict.py:235-295).
+        """
+        agg_dev, count_dev, n_out_total = self.aggregate_device(
+            spectrogram, n_frames
+        )
+        return self.fetch_aggregated(agg_dev, count_dev, n_out_total)
 
     def binary_predictions(
         self,

@@ -252,12 +252,14 @@ class StreamingPredictor:
 
     # -- pass 1 ------------------------------------------------------------
 
-    def _select_percentiles(self, source: _AudioSource, n_frames: int):
+    def _select_percentiles(
+        self, source: _AudioSource, n_frames: int, use_pallas: bool
+    ):
         """(ref_mag, lo_mag, hi_mag): exact global max + order statistics."""
         tpad = self.stats_tile_frames
         level0, refine = _build_stats_fns(
             self.n_fft, self.hop, self.lo_idx, self.hi_idx, tpad,
-            use_pallas=pallas_frontend_enabled(tpad),
+            use_pallas=use_pallas,
         )
         tiles = [
             (t0, min(tpad, n_frames - t0)) for t0 in range(0, n_frames, tpad)
@@ -338,7 +340,17 @@ class StreamingPredictor:
             audio, self.n_fft, self.hop, self.hbm_audio_budget, max_tile_frames
         )
 
-        ref, lo_mag, hi_mag = self._select_percentiles(source, n_frames)
+        # one Pallas decision for BOTH passes: the stats and normalize tiles
+        # must compute magnitudes through the same implementation, or the
+        # clip bounds selected in pass 1 would be applied to values that
+        # differ at float tolerance in pass 2
+        use_pallas = pallas_frontend_enabled(
+            self.stats_tile_frames
+        ) and pallas_frontend_enabled((self.wpc + 1) * wp.shift)
+
+        ref, lo_mag, hi_mag = self._select_percentiles(
+            source, n_frames, use_pallas
+        )
         ref_db20 = 20.0 * np.log10(max(ref, _AMIN))
         lo_db = self._to_db(lo_mag, ref)
         hi_db = self._to_db(hi_mag, ref)
@@ -351,13 +363,17 @@ class StreamingPredictor:
 
         norm_fn = _build_norm_fn(
             self.n_fft, self.hop, self.lo_idx, self.hi_idx, tile_frames,
-            use_pallas=pallas_frontend_enabled(tile_frames),
+            use_pallas=use_pallas,
         )
         key = (tile_frames, n_bins, wpc)
         if key not in wp._chunk_fns:
             wp._chunk_fns[key] = wp._build_chunk_fn(tile_frames, n_bins, wpc)
         chunk_fn = wp._chunk_fns[key]
 
+        # per-chunk LOCAL output grids (w0 = 0), fetched each sweep and
+        # accumulated on host: bounded device memory is this module's whole
+        # contract, unlike the in-memory path's device-resident global grid
+        n_out_chunk = (wpc - 1) * wp.shift_out + wp.out_len
         agg = np.zeros((n_out_total, 0), np.float32)
         count = np.zeros((n_out_total,), np.float32)
         initialized = False
@@ -369,14 +385,18 @@ class StreamingPredictor:
                 jnp.asarray(lo_db, jnp.float32),
                 jnp.asarray(hi_db, jnp.float32),
             )
+            aggz, cntz = wp._zero_grid(n_out_chunk, wp.n_labels(n_bins))
             prob_sum, cnt = chunk_fn(
+                aggz,
+                cntz,
                 wp.variables,
                 spec_tile,
                 jnp.asarray(0, jnp.int32),
+                jnp.asarray(0, jnp.int32),
                 jnp.asarray(n_valid, jnp.int32),
             )
-            prob_sum = np.asarray(prob_sum)
-            cnt = np.asarray(cnt)
+            prob_sum = np.asarray(prob_sum)[:-1]  # strip the trash row
+            cnt = np.asarray(cnt)[:-1]
             if not initialized:
                 agg = np.zeros((n_out_total, prob_sum.shape[-1]), np.float32)
                 initialized = True

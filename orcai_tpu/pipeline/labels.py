@@ -156,13 +156,17 @@ def create_label_arrays(
     ):
         recording_labels = recording_table.loc[i, label_calls]
         if recording_labels.isna().any():
+            # the reference casts NaN to True silently (create_label_arrays
+            # astype(bool)); keep upstream tables drop-in but warn loudly so
+            # accidentally blank cells aren't silently treated as 'possible'
             blank = list(recording_labels[recording_labels.isna()].index)
-            raise ValueError(
+            msgr.warning(
                 f"Recording {recording_table.loc[i, 'recording']!r} has blank "
-                f"call-possibility cells for {blank} in the recording table; "
-                "fill every call column with 0/False (not possible) or "
-                "1/True (possible). NaN would silently cast to True."
+                f"call-possibility cells for {blank}; treating blank as "
+                "'possible' (the reference's NaN->True cast). Fill every "
+                "call column with 0/False or 1/True to silence this."
             )
+            recording_labels = recording_labels.fillna(1.0)
         labels_present = list(recording_labels[recording_labels.astype(bool)].index)
         if not labels_present:
             recordings_no_labels.append(recording_table.loc[i, "recording"])

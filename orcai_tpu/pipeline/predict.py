@@ -148,6 +148,149 @@ def compute_labels(
     )
 
 
+def _is_streaming_recording(n_samples: int, sp: dict, shape: dict) -> bool:
+    """Whether a recording exceeds the spectrogram HBM budget (two-pass
+    streaming path, ops/streaming.py: bounded device memory, same outputs)."""
+    import os
+
+    n_frames_est = 1 + n_samples // sp["n_overlap"]
+    n_bins_est = shape["input_shape"][1]
+    spec_budget = int(
+        os.environ.get("ORCAI_TPU_STREAM_SPEC_BYTES", 4_000_000_000)
+    )
+    return 2 * n_frames_est * n_bins_est * 4 > spec_budget
+
+
+def _dispatch_wav(
+    recording_path: Path | str,
+    channel: int,
+    predictor: WindowPredictor,
+    orcai_parameter: dict,
+    shape: dict,
+    msgr: Messenger | None = None,
+    progressbar: tqdm | None = None,
+) -> dict:
+    """Upload + dispatch the full device graph for one wav, WITHOUT fetching.
+
+    Returns a dispatch record to pass to _finish_wav. For in-memory
+    recordings no device->host transfer happens here, so a batch can
+    dispatch a whole wave of recordings while the remote tunnel is still in
+    its fast pre-first-fetch state (the first fetch permanently degrades
+    upload bandwidth ~30x on tunneled backends; see ops/overlap.py).
+    Beyond-HBM recordings run the two-pass streaming path immediately
+    (it is internally fetch-bound by design).
+    """
+    if msgr is None:
+        msgr = Messenger(verbosity=0)
+    recording_path = Path(recording_path)
+
+    if progressbar:
+        progressbar.set_description(f"{recording_path.stem}: Generating spectrogram")
+        progressbar.refresh()
+
+    # fused device path: audio (int16 when possible) is the only upload; the
+    # spectrogram never crosses back to host (reference recomputes it in host
+    # numpy and ships every window through model.predict, predict.py:235-268)
+    from orcai_tpu.io.wav import load_wav_for_frontend
+    from orcai_tpu.ops.frontend import (
+        _bucket_frames,
+        make_spectrogram_from_params_device,
+    )
+
+    sp = orcai_parameter["spectrogram"]
+    audio, multichannel = load_wav_for_frontend(
+        recording_path, sr=sp["sampling_rate"], channel=channel
+    )
+    if multichannel:
+        msgr.warning(f"Multiple channels found, using channel {channel}")
+    delta_t = sp["n_overlap"] / sp["sampling_rate"]  # hop / sr
+
+    msgr.part(f"Prediction of annotations for wav_file: {recording_path.stem}")
+    if progressbar:
+        progressbar.set_description(f"{recording_path.stem} - Predicting annotations")
+        progressbar.refresh()
+
+    if _is_streaming_recording(audio.shape[-1], sp, shape):
+        from orcai_tpu.ops.streaming import StreamingPredictor
+
+        n_frames_est = 1 + audio.shape[-1] // sp["n_overlap"]
+        msgr.info(
+            f"Recording of {n_frames_est} frames exceeds the spectrogram HBM "
+            "budget: two-pass streaming inference"
+        )
+        streaming = StreamingPredictor(predictor, sp)
+        if streaming.hi_idx - streaming.lo_idx != shape["input_shape"][1]:
+            raise ValueError(
+                f"Spectrogram shape ({streaming.hi_idx - streaming.lo_idx}) "
+                f"for {recording_path.stem} not equal to input shape "
+                f"({shape['input_shape'][1]})"
+            )
+        aggregated, overlap_count = streaming.aggregate(audio)
+        return {
+            "mode": "host",
+            "agg": aggregated,
+            "count": overlap_count,
+            "delta_t": delta_t,
+            "est_bytes": 0,
+        }
+
+    spec_dev, n_frames, _, times = make_spectrogram_from_params_device(
+        audio, sp
+    )
+    delta_t = float(times[1] - times[0])
+    if spec_dev.shape[1] != shape["input_shape"][1]:
+        raise ValueError(
+            f"Spectrogram shape ({spec_dev.shape[1]}) for "
+            f"{recording_path.stem} not equal to input shape "
+            f"({shape['input_shape'][1]})"
+        )
+    agg_dev, count_dev, n_out_total = predictor.aggregate_device(
+        spec_dev, n_frames=n_frames
+    )
+    # device-resident footprint this recording leaves until its fetch: the
+    # (padded) spectrogram held by the chunk grid plus small output buffers
+    est_bytes = 2 * _bucket_frames(n_frames) * spec_dev.shape[1] * 4
+    return {
+        "mode": "device",
+        "agg_dev": agg_dev,
+        "count_dev": count_dev,
+        "n_out": n_out_total,
+        "delta_t": delta_t,
+        "est_bytes": est_bytes,
+    }
+
+
+def _finish_wav(
+    disp: dict,
+    predictor: WindowPredictor,
+    orcai_parameter: dict,
+    label_suffix: str = "*",
+    msgr: Messenger | None = None,
+) -> tuple[pd.DataFrame, np.ndarray, float]:
+    """Fetch a dispatch record's outputs and decode them to a label table."""
+    if msgr is None:
+        msgr = Messenger(verbosity=0)
+    if disp["mode"] == "device":
+        aggregated, overlap_count = predictor.fetch_aggregated(
+            disp.pop("agg_dev"), disp.pop("count_dev"), disp["n_out"]
+        )
+    else:
+        aggregated, overlap_count = disp["agg"], disp["count"]
+    binary = predictor.binary_predictions(
+        aggregated, overlap_count, threshold=0.5
+    )
+
+    msgr.info("converting binary predictions into start and stop frames")
+    starts, stops, names = runs_from_binary_matrix(binary, orcai_parameter["calls"])
+    time_steps_per_output_step = 2 ** len(orcai_parameter["model"]["filters"])
+    predicted_labels = compute_labels(
+        starts, stops, names, time_steps_per_output_step, label_suffix
+    )
+    msgr.info(f"found {len(predicted_labels)} acoustic signals")
+    msgr.success("Prediction finished.")
+    return predicted_labels, aggregated, disp["delta_t"]
+
+
 def predict_wav(
     recording_path: Path | str,
     channel: int,
@@ -162,84 +305,13 @@ def predict_wav(
 
     Returns (predicted_labels, aggregated probabilities, delta_t).
     """
-    if msgr is None:
-        msgr = Messenger(verbosity=0)
-    recording_path = Path(recording_path)
-
-    if progressbar:
-        progressbar.set_description(f"{recording_path.stem}: Generating spectrogram")
-        progressbar.refresh()
-
-    # fused device path: audio (int16 when possible) is the only upload; the
-    # spectrogram never crosses back to host (reference recomputes it in host
-    # numpy and ships every window through model.predict, predict.py:235-268)
-    from orcai_tpu.io.wav import load_wav_for_frontend
-    from orcai_tpu.ops.frontend import make_spectrogram_from_params_device
-
-    sp = orcai_parameter["spectrogram"]
-    audio, multichannel = load_wav_for_frontend(
-        recording_path, sr=sp["sampling_rate"], channel=channel
+    disp = _dispatch_wav(
+        recording_path, channel, predictor, orcai_parameter, shape,
+        msgr=msgr, progressbar=progressbar,
     )
-    if multichannel:
-        msgr.warning(f"Multiple channels found, using channel {channel}")
-    delta_t = sp["n_overlap"] / sp["sampling_rate"]  # hop / sr
-
-    # recordings whose spectrogram exceeds the HBM budget take the two-pass
-    # streaming path (ops/streaming.py): bounded device memory, same outputs
-    import os
-
-    n_frames_est = 1 + audio.shape[-1] // sp["n_overlap"]
-    n_bins_est = shape["input_shape"][1]
-    spec_budget = int(
-        os.environ.get("ORCAI_TPU_STREAM_SPEC_BYTES", 4_000_000_000)
+    return _finish_wav(
+        disp, predictor, orcai_parameter, label_suffix=label_suffix, msgr=msgr
     )
-    stream = 2 * n_frames_est * n_bins_est * 4 > spec_budget
-
-    msgr.part(f"Prediction of annotations for wav_file: {recording_path.stem}")
-    if progressbar:
-        progressbar.set_description(f"{recording_path.stem} - Predicting annotations")
-        progressbar.refresh()
-
-    if stream:
-        from orcai_tpu.ops.streaming import StreamingPredictor
-
-        msgr.info(
-            f"Recording of {n_frames_est} frames exceeds the spectrogram HBM "
-            "budget: two-pass streaming inference"
-        )
-        streaming = StreamingPredictor(predictor, sp)
-        if streaming.hi_idx - streaming.lo_idx != shape["input_shape"][1]:
-            raise ValueError(
-                f"Spectrogram shape ({streaming.hi_idx - streaming.lo_idx}) "
-                f"for {recording_path.stem} not equal to input shape "
-                f"({shape['input_shape'][1]})"
-            )
-        aggregated, overlap_count = streaming.aggregate(audio)
-    else:
-        spec_dev, n_frames, _, times = make_spectrogram_from_params_device(
-            audio, sp
-        )
-        delta_t = float(times[1] - times[0])
-        if spec_dev.shape[1] != shape["input_shape"][1]:
-            raise ValueError(
-                f"Spectrogram shape ({spec_dev.shape[1]}) for "
-                f"{recording_path.stem} not equal to input shape "
-                f"({shape['input_shape'][1]})"
-            )
-        aggregated, overlap_count = predictor.aggregate(
-            spec_dev, n_frames=n_frames
-        )
-    binary = predictor.binary_predictions(aggregated, overlap_count, threshold=0.5)
-
-    msgr.info("converting binary predictions into start and stop frames")
-    starts, stops, names = runs_from_binary_matrix(binary, orcai_parameter["calls"])
-    time_steps_per_output_step = 2 ** len(orcai_parameter["model"]["filters"])
-    predicted_labels = compute_labels(
-        starts, stops, names, time_steps_per_output_step, label_suffix
-    )
-    msgr.info(f"found {len(predicted_labels)} acoustic signals")
-    msgr.success("Prediction finished.")
-    return predicted_labels, aggregated, delta_t
 
 
 # ---------------------------------------------------------------- saving
@@ -287,6 +359,67 @@ def save_prediction_probabilities(
     msgr.info(f"Prediction probabilities saved to {probs_path}")
 
 
+def _resolve_output_path(
+    recording_path: Path,
+    channel: int,
+    orcai_parameter: dict,
+    output_path: Path | str | None,
+    overwrite: bool,
+    msgr: Messenger,
+) -> Path | None:
+    if output_path is None:
+        return None
+    if output_path == "default":
+        filename = (
+            f"{recording_path.stem}_c{channel}_"
+            f"{orcai_parameter['name']}_predicted.txt"
+        )
+        output_path = recording_path.with_name(filename)
+    else:
+        output_path = Path(output_path)
+    msgr.info(f"Output file: {output_path}")
+    if output_path.exists():
+        if overwrite:
+            msgr.warning(
+                f"Output file {output_path} already exists. Overwriting."
+            )
+        else:
+            raise FileExistsError(
+                f"Annotation file already exists: {output_path}"
+            )
+    return output_path
+
+
+def _finish_and_save(
+    disp: dict,
+    output_path: Path | None,
+    predictor: WindowPredictor,
+    orcai_parameter: dict,
+    save_probabilities: bool = False,
+    call_duration_limits: dict | Path | str | None = None,
+    label_suffix: str = "*",
+    msgr: Messenger | None = None,
+) -> None:
+    if msgr is None:
+        msgr = Messenger(verbosity=0)
+    predicted_labels, aggregated, delta_t = _finish_wav(
+        disp, predictor, orcai_parameter, label_suffix=label_suffix, msgr=msgr
+    )
+    if call_duration_limits is not None:
+        predicted_labels = filter_predictions(
+            predicted_labels,
+            delta_t=delta_t,
+            call_duration_limits=call_duration_limits,
+            label_suffix=label_suffix,
+            msgr=msgr,
+        )
+    save_predictions(predicted_labels, output_path, delta_t, msgr=msgr)
+    if save_probabilities:
+        save_prediction_probabilities(
+            aggregated, orcai_parameter, delta_t, output_path, msgr=msgr
+        )
+
+
 def _predict_and_save(
     recording_path: Path,
     channel: int,
@@ -303,51 +436,19 @@ def _predict_and_save(
 ) -> None:
     if msgr is None:
         msgr = Messenger(verbosity=0)
-    if output_path is not None:
-        if output_path == "default":
-            filename = (
-                f"{recording_path.stem}_c{channel}_"
-                f"{orcai_parameter['name']}_predicted.txt"
-            )
-            output_path = recording_path.with_name(filename)
-        else:
-            output_path = Path(output_path)
-        msgr.info(f"Output file: {output_path}")
-        if output_path.exists():
-            if overwrite:
-                msgr.warning(
-                    f"Output file {output_path} already exists. Overwriting."
-                )
-            else:
-                raise FileExistsError(
-                    f"Annotation file already exists: {output_path}"
-                )
-
-    predicted_labels, aggregated, delta_t = predict_wav(
-        recording_path,
-        channel,
-        predictor,
-        orcai_parameter,
-        shape,
-        label_suffix=label_suffix,
-        msgr=msgr,
-        progressbar=progressbar,
+    output_path = _resolve_output_path(
+        recording_path, channel, orcai_parameter, output_path, overwrite, msgr
     )
-
-    if call_duration_limits is not None:
-        predicted_labels = filter_predictions(
-            predicted_labels,
-            delta_t=delta_t,
-            call_duration_limits=call_duration_limits,
-            label_suffix=label_suffix,
-            msgr=msgr,
-        )
-
-    save_predictions(predicted_labels, output_path, delta_t, msgr=msgr)
-    if save_probabilities:
-        save_prediction_probabilities(
-            aggregated, orcai_parameter, delta_t, output_path, msgr=msgr
-        )
+    disp = _dispatch_wav(
+        recording_path, channel, predictor, orcai_parameter, shape,
+        msgr=msgr, progressbar=progressbar,
+    )
+    _finish_and_save(
+        disp, output_path, predictor, orcai_parameter,
+        save_probabilities=save_probabilities,
+        call_duration_limits=call_duration_limits,
+        label_suffix=label_suffix, msgr=msgr,
+    )
 
 
 def predict(
@@ -441,22 +542,59 @@ def predict(
         recording_table.index, desc="Starting ...", unit="file",
         disable=verbosity < 2,
     )
+
+    # wave-based batch: dispatch (upload + device graph, NO fetches) as many
+    # recordings as fit the HBM wave budget, THEN fetch + decode + save each.
+    # On tunneled backends the first device->host fetch permanently degrades
+    # upload bandwidth ~30x, so front-loading every upload before the first
+    # fetch keeps the whole wave's transfers in the fast state (measured in
+    # tools/tunnel_probe.py; per-recording outputs are identical either way).
+    import os
+
+    wave_budget = int(os.environ.get("ORCAI_TPU_WAVE_HBM_BYTES", 6_000_000_000))
+    pending: list[tuple[object, Path | None, dict]] = []
+    pending_bytes = 0
+
+    def flush_wave():
+        nonlocal pending_bytes
+        for row_i, out_path, disp in pending:
+            try:
+                _finish_and_save(
+                    disp, out_path, predictor, orcai_parameter,
+                    save_probabilities=save_probabilities,
+                    call_duration_limits=call_duration_limits,
+                    label_suffix=label_suffix, msgr=Messenger(verbosity=0),
+                )
+            except Exception as e:
+                msgr.error(
+                    f"Error predicting "
+                    f"{recording_table.loc[row_i, 'recording']}: "
+                    f"{e.args[0] if e.args else e}"
+                )
+        pending.clear()
+        pending_bytes = 0
+
     for i in progressbar:
         try:
-            _predict_and_save(
-                recording_path=Path(
-                    recording_table.loc[i, "base_dir_recording"]
-                ).joinpath(recording_table.loc[i, "rel_recording_path"]),
-                channel=recording_table.loc[i, "channel"],
-                predictor=predictor,
-                orcai_parameter=orcai_parameter,
-                shape=shape,
-                output_path=recording_table.loc[i, "output_path"],
-                overwrite=overwrite,
-                save_probabilities=save_probabilities,
-                call_duration_limits=call_duration_limits,
-                label_suffix=label_suffix,
-                msgr=Messenger(verbosity=0),
+            quiet = Messenger(verbosity=0)
+            recording_path = Path(
+                recording_table.loc[i, "base_dir_recording"]
+            ).joinpath(recording_table.loc[i, "rel_recording_path"])
+            out_path = _resolve_output_path(
+                recording_path,
+                recording_table.loc[i, "channel"],
+                orcai_parameter,
+                recording_table.loc[i, "output_path"],
+                overwrite,
+                quiet,
+            )
+            disp = _dispatch_wav(
+                recording_path,
+                recording_table.loc[i, "channel"],
+                predictor,
+                orcai_parameter,
+                shape,
+                msgr=quiet,
                 progressbar=progressbar,
             )
         except Exception as e:  # keep batch going on per-file failure
@@ -464,4 +602,10 @@ def predict(
                 f"Error predicting {recording_table.loc[i, 'recording']}: "
                 f"{e.args[0] if e.args else e}"
             )
+            continue
+        pending.append((i, out_path, disp))
+        pending_bytes += disp["est_bytes"]
+        if pending_bytes >= wave_budget:
+            flush_wave()
+    flush_wave()
     msgr.success("Predictions finished.")

@@ -202,7 +202,7 @@ def hyperparameter_search(
     # resumability requires deterministic sampling AND data order: without a
     # project seed, draw one on the first run and persist it with the store
     search_seed = orcai_parameter["seed"]
-    if not search_seed:
+    if search_seed is None:  # seed 0 is a real seed; only null draws one
         seed_file = store.directory / "search_seed.json"
         if seed_file.exists():
             search_seed = json.loads(seed_file.read_text())["seed"]

@@ -547,11 +547,12 @@ def train(
 
     train_ds = ArrayDataset.load(data_dir / "train_dataset")
     val_ds = ArrayDataset.load(data_dir / "val_dataset")
-    # a falsy/absent project seed means unseeded shuffles (the shipped
-    # default parameter has "seed": null) — [ID, None] would crash
+    # a null/absent project seed means unseeded shuffles (the shipped
+    # default parameter has "seed": null) — [ID, None] would crash. seed 0
+    # is a real seed (the reference passes it through default_rng([ID, 0]))
     seed = orcai_parameter["seed"]
-    train_seed = [SEED_ID_LOAD_TRAIN_DATA, seed] if seed else None
-    val_seed = [SEED_ID_LOAD_VAL_DATA, seed] if seed else None
+    train_seed = [SEED_ID_LOAD_TRAIN_DATA, seed] if seed is not None else None
+    val_seed = [SEED_ID_LOAD_VAL_DATA, seed] if seed is not None else None
 
     if mp.get("call_weights") is not None:
         call_weights_dict = read_json(data_dir / "call_weights.json")
@@ -576,7 +577,7 @@ def train(
         mesh=mesh_for_batch(mp["batch_size"]),
     )
 
-    seed_int = int(seed) % (2**31) if seed else 0
+    seed_int = int(seed) % (2**31) if seed is not None else 0
     resumed_lr = None
     if load_model:
         msgr.part("Loading model")

@@ -163,16 +163,17 @@ def test_dataset_ragged_batches(tmp_path):
     assert seen.shape[0] == 10
 
 
-def test_labels_blank_possibility_cells_error(tmp_path):
-    """Blank call-possibility cells in the recording table raise instead of
-    silently casting NaN to call-present."""
+def test_labels_blank_possibility_cells_warn(tmp_path):
+    """Blank call-possibility cells keep the reference's NaN->True cast
+    (drop-in compatibility for upstream tables) but warn loudly instead of
+    silently treating blank as 'possible'."""
     import json
 
     import numpy as np
     import pandas as pd
-    import pytest
 
     from orcai_tpu.pipeline.labels import create_label_arrays
+    from orcai_tpu.utils import Messenger
 
     table = pd.DataFrame(
         {
@@ -199,10 +200,18 @@ def test_labels_blank_possibility_cells_error(tmp_path):
         "model": {"filters": [2, 2]},
         "seed": 1,
     }
-    with pytest.raises(ValueError, match="blank"):
-        create_label_arrays(
-            table_path, tmp_path, orcai_parameter=param, verbosity=0
-        )
+    import io
+
+    buf = io.StringIO()
+    create_label_arrays(
+        table_path, tmp_path, orcai_parameter=param, verbosity=0,
+        msgr=Messenger(verbosity=2, file=buf),
+    )
+    out = buf.getvalue()
+    assert "blank" in out and "CALL_B" in out  # loud warning
+    # NaN cast to True, so CALL_B is treated as possible (not masked) and
+    # the label arrays were still produced
+    assert (tmp_path / "r1" / "labels").exists()
 
 
 def test_dataset_empty_loader_preserves_previous(tmp_path):
