@@ -349,8 +349,8 @@ def cli_create_tvt_snippet_tables(**kwargs):
 @click.option("--overwrite", "-ow", is_flag=True, help="Recreate existing data.")
 @click.option("--data_compression", "-dc",
               type=click.Choice(["GZIP", "None"], case_sensitive=False),
-              default="GZIP", show_default=True,
-              help="Data compression for datasets")
+              default="None", show_default=True,
+              help="Data compression for datasets. The default (None) keeps shards memory-mappable so training streams from disk; GZIP shrinks disk use ~3x but loads a full decompressed copy into host RAM.")
 @_verbosity_option
 def cli_create_tvt_data(**kwargs):
     kwargs["msgr"] = Messenger(
@@ -379,8 +379,8 @@ def cli_create_tvt_data(**kwargs):
               help="Path to the orcAI parameter file.")
 @click.option("--data_compression", "-dc",
               type=click.Choice(["GZIP", "None"], case_sensitive=False),
-              default="GZIP", show_default=True,
-              help="Data compression of saved datasets")
+              default="None", show_default=True,
+              help="Data compression for datasets. The default (None) keeps shards memory-mappable so training streams from disk; GZIP shrinks disk use ~3x but loads a full decompressed copy into host RAM.")
 @click.option("--load_model", "-lm", is_flag=True,
               help="Load model from previous training.")
 @_verbosity_option
@@ -410,8 +410,8 @@ def cli_train(**kwargs):
               help="Output directory. None to save next to the model.")
 @click.option("--data_compression", "-dc",
               type=click.Choice(["GZIP", "None"], case_sensitive=False),
-              default="GZIP", show_default=True,
-              help="Data compression of saved datasets")
+              default="None", show_default=True,
+              help="Data compression for datasets. The default (None) keeps shards memory-mappable so training streams from disk; GZIP shrinks disk use ~3x but loads a full decompressed copy into host RAM.")
 @_verbosity_option
 def cli_test(**kwargs):
     kwargs["msgr"] = Messenger(
@@ -446,8 +446,8 @@ def cli_test(**kwargs):
               help="Run trials data-parallel over all devices.")
 @click.option("--data_compression", "-dc",
               type=click.Choice(["GZIP", "None"], case_sensitive=False),
-              default="GZIP", show_default=True,
-              help="Data compression of saved datasets")
+              default="None", show_default=True,
+              help="Data compression for datasets. The default (None) keeps shards memory-mappable so training streams from disk; GZIP shrinks disk use ~3x but loads a full decompressed copy into host RAM.")
 @_verbosity_option
 def cli_hpsearch(**kwargs):
     kwargs["msgr"] = Messenger(verbosity=kwargs["verbosity"],

@@ -7,8 +7,10 @@ a directory with a ``zarr.json`` v3 metadata document and chunk files under
 ``bytes`` (little-endian) codec followed optionally by ``gzip``.
 
 Only what the pipeline needs is implemented: 2-D (and 1-D) arrays, C order,
-regular chunk grid, gzip or uncompressed codecs. Edge chunks are stored
-full-size padded with the fill value, per the v3 spec.
+regular chunk grid; gzip, blosc (lz4/zlib/zstd inner codecs, byte-shuffle —
+zarr-python v2's default compressor family, via orcai_tpu.io.blosc), zstd
+(gated on an available implementation) or uncompressed codecs. Edge chunks
+are stored full-size padded with the fill value, per the v3 spec.
 """
 
 from __future__ import annotations
@@ -66,8 +68,10 @@ def _decode_chunk(raw: bytes, codecs: list[dict], dtype, chunk_shape) -> np.ndar
             data = gzip.decompress(data)
         elif name == "zstd":
             data = _zstd_decompress(data)
-        elif name == "blosc":  # pragma: no cover
-            raise NotImplementedError("blosc codec not supported by zarrlite")
+        elif name == "blosc":
+            from orcai_tpu.io.blosc import blosc_decompress
+
+            data = blosc_decompress(data)
         elif name == "bytes":
             endian = codec.get("configuration", {}).get("endian", "little")
             dt = np.dtype(dtype).newbyteorder("<" if endian == "little" else ">")

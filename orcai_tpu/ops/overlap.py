@@ -103,10 +103,10 @@ class WindowPredictor:
         at frame f0 into the DONATED global output grid.
 
         Accumulation stays on device so a whole predict performs exactly ONE
-        device->host fetch at the end — on remote-dispatch backends the
-        first fetch permanently degrades the link's host->device bandwidth
-        ~30x (measured: 1.3 GB/s -> 43 MB/s, tools/tunnel_probe.py), so
-        per-chunk readbacks would poison every subsequent upload.
+        device->host fetch at the end — on remote-dispatch backends every
+        fetch is a full queue-drain + round trip (readiness APIs return
+        early; a fetch is the only real sync, tools/tunnel_probe.py), so
+        per-chunk readbacks would serialize the pipeline on link latency.
 
         Model weights are an argument, not a closure constant: large embedded
         constants stall compilation on remote-dispatch TPU backends and
@@ -234,10 +234,10 @@ class WindowPredictor:
 
         Dispatches the full windowed inference + scatter-add overlap chain
         WITHOUT any device->host transfer; callers fetch the (tiny) result
-        grid whenever they choose. This split is what lets batch predict
-        front-load every upload/dispatch for a wave of recordings before the
-        first fetch (the first fetch permanently drops remote-tunnel upload
-        bandwidth ~30x; see _build_chunk_fn).
+        grid whenever they choose. This split lets batch predict queue a
+        whole wave of recordings and pay exactly one sync round trip per
+        recording at fetch time (every fetch drains the queue on remote
+        backends; see _build_chunk_fn).
 
         Returns (agg_sum_dev, count_dev, n_out_total).
         """

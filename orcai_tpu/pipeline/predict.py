@@ -174,9 +174,9 @@ def _dispatch_wav(
 
     Returns a dispatch record to pass to _finish_wav. For in-memory
     recordings no device->host transfer happens here, so a batch can
-    dispatch a whole wave of recordings while the remote tunnel is still in
-    its fast pre-first-fetch state (the first fetch permanently degrades
-    upload bandwidth ~30x on tunneled backends; see ops/overlap.py).
+    dispatch a whole wave of recordings and pay only one sync round trip
+    per recording at fetch time (on remote backends every fetch drains the
+    dispatch queue; see ops/overlap.py and tools/tunnel_probe.py).
     Beyond-HBM recordings run the two-pass streaming path immediately
     (it is internally fetch-bound by design).
     """
@@ -464,11 +464,15 @@ def predict(
     verbosity: int = 2,
     msgr: Messenger | None = None,
     predict_batch_size: int = 128,
+    predictor: WindowPredictor | None = None,
 ) -> None:
     """Predict calls in one wav file or every row of a recording table CSV.
 
     Batch mode wraps each recording in try/except so a single failure does
-    not stop the run (reference predict.py:735-755).
+    not stop the run (reference predict.py:735-755). Passing `predictor`
+    reuses an already-built WindowPredictor for the same model (its
+    executables and loaded programs carry over between calls — remote
+    backends lazily load each new predictor's programs on first execution).
     """
     if msgr is None:
         msgr = Messenger(verbosity=verbosity, title="Predicting calls")
@@ -483,24 +487,25 @@ def predict(
 
     model, variables, orcai_parameter, shape = load_orcai_model(model_dir)
 
-    # shard inference windows over all visible chips (SURVEY §5.7); a single
-    # chip keeps the annotation-free fast path
-    import jax
+    if predictor is None:
+        # shard inference windows over all visible chips (SURVEY §5.7); a
+        # single chip keeps the annotation-free fast path
+        import jax
 
-    from orcai_tpu.parallel.mesh import make_mesh
+        from orcai_tpu.parallel.mesh import make_mesh
 
-    n_devices = len(jax.devices())
-    mesh = make_mesh(n_data=n_devices) if n_devices > 1 else None
-    if mesh is not None:
-        msgr.info(f"Sharding inference windows over {n_devices} devices")
-    predictor = WindowPredictor(
-        model,
-        variables,
-        snippet_len=shape["input_shape"][0],
-        n_filters=len(orcai_parameter["model"]["filters"]),
-        batch_size=predict_batch_size,
-        mesh=mesh,
-    )
+        n_devices = len(jax.devices())
+        mesh = make_mesh(n_data=n_devices) if n_devices > 1 else None
+        if mesh is not None:
+            msgr.info(f"Sharding inference windows over {n_devices} devices")
+        predictor = WindowPredictor(
+            model,
+            variables,
+            snippet_len=shape["input_shape"][0],
+            n_filters=len(orcai_parameter["model"]["filters"]),
+            batch_size=predict_batch_size,
+            mesh=mesh,
+        )
 
     if recording_path.suffix == ".wav":
         return _predict_and_save(
@@ -545,10 +550,10 @@ def predict(
 
     # wave-based batch: dispatch (upload + device graph, NO fetches) as many
     # recordings as fit the HBM wave budget, THEN fetch + decode + save each.
-    # On tunneled backends the first device->host fetch permanently degrades
-    # upload bandwidth ~30x, so front-loading every upload before the first
-    # fetch keeps the whole wave's transfers in the fast state (measured in
-    # tools/tunnel_probe.py; per-recording outputs are identical either way).
+    # On tunneled backends every fetch is a queue-drain + round trip
+    # (tools/tunnel_probe.py), so front-loading the wave's uploads and
+    # dispatches lets transfers and compute of different recordings overlap
+    # freely; per-recording outputs are identical either way.
     import os
 
     wave_budget = int(os.environ.get("ORCAI_TPU_WAVE_HBM_BYTES", 6_000_000_000))

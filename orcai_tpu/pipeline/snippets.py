@@ -433,7 +433,7 @@ def create_tvt_data(
     tvt_dir: Path | str,
     orcai_parameter: dict | Path | str = DEFAULT_PARAMETER,
     overwrite: bool = False,
-    data_compression: str | None = "GZIP",
+    data_compression: str | None = None,
     verbosity: int = 2,
     msgr: Messenger | None = None,
 ) -> None:

@@ -227,7 +227,7 @@ def test_model(
     data_dir: Path | str,
     test_unfiltered: bool = True,
     output_dir: Path | str | None = None,
-    data_compression: str | None = "GZIP",
+    data_compression: str | None = None,
     verbosity: int = 2,
     msgr: Messenger | None = None,
 ) -> None:

