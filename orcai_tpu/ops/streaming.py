@@ -50,6 +50,45 @@ from orcai_tpu.utils.jaxcache import enable_persistent_cache
 
 enable_persistent_cache()
 
+# device-side histogram accumulation syncs (fetches) every N tiles: bounds
+# both the in-flight upload backlog (bounded-memory contract) and the
+# int32 bin counts (N * tile_frames * n_bins must stay < 2^31)
+_SYNC_TILES = 8
+
+
+@lru_cache(maxsize=None)
+def _acc_hist_max_fn():
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def f(acc_h, acc_m, h, m):
+        return acc_h + h, jnp.maximum(acc_m, m)
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _acc_pair_add_fn():
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def f(acc_a, acc_b, a, b):
+        return acc_a + a, acc_b + b
+
+    return f
+
+
+def _accumulate_fns():
+    """(acc_a, acc_b, a, b, mode) device accumulator; None accs start fresh."""
+    hist_max = _acc_hist_max_fn()
+    pair_add = _acc_pair_add_fn()
+
+    def acc(acc_a, acc_b, a, b, mode="add"):
+        if acc_a is None:
+            return a, b
+        if mode == "max_b":
+            return hist_max(acc_a, acc_b, a, b)
+        return pair_add(acc_a, acc_b, a, b)
+
+    return acc
+
+
 # radix-selection digit plan over the 32 bits of a non-negative f32 key
 _LEVELS = (
     (21, 0xFFFFFFFF, 11),  # level 0: bins = key >> 21          (2048 bins)
@@ -264,13 +303,27 @@ class StreamingPredictor:
         tiles = [
             (t0, min(tpad, n_frames - t0)) for t0 in range(0, n_frames, tpad)
         ]
+        # accumulate per-tile histograms ON DEVICE and fetch once per sweep:
+        # every fetch is a queue-drain round trip on remote backends
+        # (tools/tunnel_probe.py), so per-tile fetches would serialize the
+        # sweep on link latency. A periodic small fetch every _SYNC_TILES
+        # tiles still bounds the in-flight upload backlog (the bounded-
+        # memory contract of this module).
+        acc_add = _accumulate_fns()
 
         hist = np.zeros((2048,), np.int64)
         ref = -np.inf
-        for t0, n_valid in tiles:
+        acc_h = acc_m = None
+        for i, (t0, n_valid) in enumerate(tiles):
             h, m = level0(source.tile(t0, tpad), jnp.asarray(n_valid, jnp.int32))
-            hist += np.asarray(h, np.int64)
-            ref = max(ref, float(m))
+            acc_h, acc_m = acc_add(acc_h, acc_m, h, m, mode="max_b")
+            if (i + 1) % _SYNC_TILES == 0:
+                hist += np.asarray(acc_h, np.int64)
+                ref = max(ref, float(acc_m))
+                acc_h = acc_m = None
+        if acc_h is not None:
+            hist += np.asarray(acc_h, np.int64)
+            ref = max(ref, float(acc_m))
 
         n_values = n_frames * (self.hi_idx - self.lo_idx)
         targets = [
@@ -291,7 +344,8 @@ class StreamingPredictor:
         for level in (1, 2):
             hist_lo = np.zeros((1 << _LEVELS[level][2],), np.int64)
             hist_hi = np.zeros_like(hist_lo)
-            for t0, n_valid in tiles:
+            acc_lo = acc_hi = None
+            for i, (t0, n_valid) in enumerate(tiles):
                 h_lo, h_hi = refine(
                     level,
                     source.tile(t0, tpad),
@@ -299,8 +353,14 @@ class StreamingPredictor:
                     state[0][0],
                     state[1][0],
                 )
-                hist_lo += np.asarray(h_lo, np.int64)
-                hist_hi += np.asarray(h_hi, np.int64)
+                acc_lo, acc_hi = acc_add(acc_lo, acc_hi, h_lo, h_hi)
+                if (i + 1) % _SYNC_TILES == 0:
+                    hist_lo += np.asarray(acc_lo, np.int64)
+                    hist_hi += np.asarray(acc_hi, np.int64)
+                    acc_lo = acc_hi = None
+            if acc_lo is not None:
+                hist_lo += np.asarray(acc_lo, np.int64)
+                hist_hi += np.asarray(acc_hi, np.int64)
             new_state = []
             for (prefix, k_rem), h in zip(state, (hist_lo, hist_hi)):
                 b, k_next = pick(h, k_rem)

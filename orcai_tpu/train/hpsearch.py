@@ -14,6 +14,13 @@ Hyperband bracket/successive-halving logic is explicit and TPU-shaped:
 - --parallel fans the independent trials of a rung out across devices,
   one single-device mesh per trial, overlapping via async dispatch (the
   reference wrapped keras-tuner in a MirroredStrategy, hpsearch.py:186-205).
+  The fan-out is thread-based, so per-trial HOST work (epoch permutation
+  generation, metric device_get) serializes on the GIL — ample for this
+  model family's trial sizes; very large per-trial host work would need a
+  process pool or device-side permutation generation;
+- multi-host pod slices partition every rung's trials round-robin by
+  process index, with the shared TrialStore as the rendezvous and process
+  0 as the single publisher (process_trial_partition).
 
 Outputs preserved: hps_logs/best_hyperparameters.json + all_trials.csv with
 per-trial hyperparameters, score and status; the running best model is
