@@ -32,8 +32,9 @@ program is compiled once for every recording longer than the tile) and the
 global statistics stay exact: dB is a monotone non-decreasing function of
 |S|, so the nearest-method percentiles of the cropped dB values are the
 transformed order statistics of the cropped magnitudes, picked from one
-masked sort over the resident magnitude tiles (same trick as the streaming
-predictor, ops/streaming.py).
+masked sort — or, on TPU, three MXU histogram sweeps (ops/pallas_hist.py)
+— over the resident magnitude tiles (same monotonicity trick as the
+streaming predictor, ops/streaming.py).
 """
 
 from __future__ import annotations
@@ -197,26 +198,38 @@ def _build_tile_mag_fn(
     return lambda audio_tile, n_valid: tile_fn(audio_tile, n_valid, C_dev, S_dev)
 
 
+def mxu_select_enabled() -> bool:
+    """Whether the MXU radix-select kernel replaces the percentile sort."""
+    import os
+
+    return (
+        jax.default_backend() == "tpu"
+        and os.environ.get("ORCAI_TPU_DISABLE_PALLAS") != "1"
+    )
+
+
 @lru_cache(maxsize=None)
-def _build_finalize_fn(n_tiles: int, tile: int):
+def _build_finalize_fn(n_tiles: int, tile: int, use_mxu_select: bool = False):
     """jit'd (mag tiles, tile maxes, n_valid, idx_lo, idx_hi) -> (Tpad, bins).
 
     Global statistics + normalization over the resident magnitude tiles:
-    dB reference = max of tile maxes; percentiles via one masked sort of the
-    cropped magnitudes (dB is monotone non-decreasing in |S|, so the k-th
-    smallest cropped dB is the dB transform of the k-th smallest cropped
-    magnitude — including through the amin and top_db plateaus).
+    dB reference = max of tile maxes; percentiles as order statistics of
+    the cropped magnitudes (dB is monotone non-decreasing in |S|, so the
+    k-th smallest cropped dB is the dB transform of the k-th smallest
+    cropped magnitude — including through the amin and top_db plateaus).
+    The order statistics come from one masked sort, or — on TPU — from
+    three MXU histogram sweeps (ops/pallas_hist.py, exact and ~2x cheaper
+    than sorting ~40M floats). Valid rows are a contiguous prefix of the
+    row-major magnitude buffer, so the radix path bounds validity by
+    element count alone.
     """
 
     @jax.jit
     def finalize_fn(tiles, maxes, n_valid, idx_lo, idx_hi):
         mag = jnp.concatenate(tiles, axis=0)  # (n_tiles * tile, bins)
-        bucket = n_tiles * tile
+        bucket, n_bins = mag.shape
         ref = jnp.max(maxes)
         valid = (jnp.arange(bucket) < n_valid)[:, None]
-
-        flat = jnp.where(valid, mag, jnp.inf).ravel()
-        flat = jnp.sort(flat)
         ref20 = 20.0 * jnp.log10(jnp.maximum(ref, _AMIN))
 
         def db_of(m):
@@ -224,8 +237,27 @@ def _build_finalize_fn(n_tiles: int, tile: int):
                 20.0 * jnp.log10(jnp.maximum(m, _AMIN)) - ref20, -_TOP_DB
             )
 
-        lo = db_of(flat[idx_lo])
-        hi = db_of(flat[idx_hi])
+        if use_mxu_select:
+            from orcai_tpu.ops.pallas_hist import (
+                pad_unit,
+                select_order_statistics,
+            )
+
+            flat = mag.ravel()
+            unit = pad_unit()
+            padded_len = -(-flat.shape[0] // unit) * unit
+            flat = jnp.pad(flat, (0, padded_len - flat.shape[0]))
+            lo_mag, hi_mag = select_order_statistics(
+                flat, n_valid * n_bins, idx_lo, idx_hi
+            )
+            lo = db_of(lo_mag)
+            hi = db_of(hi_mag)
+        else:
+            flat = jnp.where(valid, mag, jnp.inf).ravel()
+            flat = jnp.sort(flat)
+            lo = db_of(flat[idx_lo])
+            hi = db_of(flat[idx_hi])
+
         db = db_of(mag)
         # clip + min-max normalize; with nearest percentiles the clipped
         # minimum/maximum are exactly lo/hi. The final clip keeps f32
@@ -339,7 +371,7 @@ def compute_spectrogram_device(
         maxes.extend([zx] * (n_tiles - n_real))
 
     n_elem = n_frames * n_bins
-    out = _build_finalize_fn(n_tiles, tile)(
+    out = _build_finalize_fn(n_tiles, tile, mxu_select_enabled())(
         tuple(mags),
         jnp.stack(maxes),
         jnp.asarray(n_frames, dtype=jnp.int32),
