@@ -100,8 +100,19 @@ _LEVELS = (
 @lru_cache(maxsize=None)
 def _build_stats_fns(n_fft: int, hop: int, lo_idx: int, hi_idx: int, tpad: int,
                      use_pallas: bool = False):
-    """(level0_fn, refine_fn_by_level) for stats tiles of tpad frames."""
+    """(level0_fn, refine_fn_by_level) for stats tiles of tpad frames.
+
+    On TPU the per-tile digit histograms run through the MXU one-hot-matmul
+    kernel (ops/pallas_hist.py) — `.at[bins].add` lowers to a serializing
+    scatter there, ~9x slower than even a full sort at these sizes. The
+    scatter formulation remains the CPU path.
+    """
     C_dev, S_dev = map(jnp.asarray, _dft_mats(n_fft))
+    n_bins_crop = hi_idx - lo_idx
+    use_mxu_hist = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("ORCAI_TPU_DISABLE_PALLAS") != "1"
+    )
 
     def _mag(audio_tile, C, S):
         return framed_dft_magnitude(
@@ -109,11 +120,28 @@ def _build_stats_fns(n_fft: int, hop: int, lo_idx: int, hi_idx: int, tpad: int,
             use_pallas=use_pallas,
         )
 
+    def _crop_flat(mag):
+        """Cropped magnitudes flattened + padded for the MXU hist kernel."""
+        from orcai_tpu.ops.pallas_hist import pad_unit
+
+        flat = mag[:, lo_idx:hi_idx].ravel()
+        unit = pad_unit()
+        padded = -(-flat.shape[0] // unit) * unit
+        return jnp.pad(flat, (0, padded - flat.shape[0]))
+
     @jax.jit
     def level0_fn(audio_tile, n_valid, C, S):
         mag = _mag(audio_tile, C, S)
         valid = (jnp.arange(tpad) < n_valid)[:, None]
         tile_max = jnp.max(jnp.where(valid, mag, -jnp.inf))
+        if use_mxu_hist:
+            from orcai_tpu.ops.pallas_hist import digit_histograms
+
+            h = digit_histograms(
+                _crop_flat(mag), n_valid * n_bins_crop,
+                jnp.zeros((2,), jnp.uint32), 21, 11, None,
+            )
+            return h[0], tile_max
         crop = mag[:, lo_idx:hi_idx]
         keys = jax.lax.bitcast_convert_type(crop, jnp.uint32)
         bins = (keys >> 21).astype(jnp.int32)
@@ -124,13 +152,22 @@ def _build_stats_fns(n_fft: int, hop: int, lo_idx: int, hi_idx: int, tpad: int,
         return hist, tile_max
 
     def _build_refine(level: int):
-        bin_shift, bin_mask, _ = _LEVELS[level]
+        bin_shift, bin_mask, digit_bits = _LEVELS[level]
         prefix_shift = _LEVELS[level - 1][0]
-        nbins = 1 << _LEVELS[level][2]
+        nbins = 1 << digit_bits
 
         @jax.jit
         def refine_fn(audio_tile, n_valid, prefix_lo, prefix_hi, C, S):
             mag = _mag(audio_tile, C, S)
+            if use_mxu_hist:
+                from orcai_tpu.ops.pallas_hist import digit_histograms
+
+                h = digit_histograms(
+                    _crop_flat(mag), n_valid * n_bins_crop,
+                    jnp.stack([prefix_lo, prefix_hi]),
+                    bin_shift, digit_bits, prefix_shift,
+                )
+                return h[0], h[1]
             valid = (jnp.arange(tpad) < n_valid)[:, None]
             crop = mag[:, lo_idx:hi_idx]
             keys = jax.lax.bitcast_convert_type(crop, jnp.uint32)
