@@ -162,7 +162,25 @@ def _test_model_on_dataset(
 
     y_true_parts, y_pred_parts = [], []
     losses, correct, total, n = 0.0, 0.0, 0.0, 0
-    for x, y in dataset.batches(batch_size, seed=seed):
+    # keep the remainder batch: the reference evaluates EVERY test snippet
+    # (keras model.predict drops nothing); a test split smaller than one
+    # batch must still produce tables instead of crashing. The short batch
+    # is padded to full size — zero inputs, MASK_VALUE labels — so mesh
+    # shardings stay divisible while the masked loss/accuracy machinery
+    # excludes every padded row from the metrics; padded probabilities are
+    # sliced off before the tables.
+    from orcai_tpu.utils import MASK_VALUE
+
+    for x, y in dataset.batches(batch_size, seed=seed, drop_remainder=False):
+        k = len(x)
+        if k < batch_size:
+            pad = batch_size - k
+            x = np.concatenate(
+                [x, np.zeros((pad, *x.shape[1:]), x.dtype)]
+            )
+            y = np.concatenate(
+                [y, np.full((pad, *y.shape[1:]), MASK_VALUE, y.dtype)]
+            )
         # one jitted forward yields metrics AND probabilities
         metrics, probs = trainer.eval_step_probs(
             params, batch_stats, jnp.asarray(x), jnp.asarray(y)
@@ -172,8 +190,8 @@ def _test_model_on_dataset(
         correct += metrics[1]
         total += metrics[2]
         n += 1
-        y_pred_parts.append(np.asarray(probs))
-        y_true_parts.append(y)
+        y_pred_parts.append(np.asarray(probs)[:k])
+        y_true_parts.append(y[:k])
 
     data_metrics = {
         "loss": float(losses / max(n, 1)),

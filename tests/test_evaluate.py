@@ -89,3 +89,49 @@ def test_confusion_table():
     row = table.loc["B"]
     assert row["Total"] == 2
     assert row["F1"] == 1.0
+
+
+def test_test_model_covers_remainder_and_small_splits(tmp_path):
+    """Evaluation must cover EVERY test snippet (the reference's
+    model.predict drops nothing): a split smaller than one batch and a
+    split with a remainder both produce full tables."""
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from orcai_tpu.io.dataset import ArrayDataset
+    from orcai_tpu.models import build_model, init_variables
+    from orcai_tpu.train.evaluate import _test_model_on_dataset
+    from orcai_tpu.train.trainer import Trainer, make_optimizer
+    from orcai_tpu.utils import Messenger
+
+    param = {
+        "name": "ev", "architecture": "ResNetLSTM", "calls": ["A", "B"],
+        "seed": 1,
+        "model": {"batch_size": 8, "filters": [2, 2], "kernel_size": 3,
+                  "dropout_rate": 0.1, "lstm_units": 4, "learning_rate": 1e-3},
+    }
+    input_shape = (8, 12, 1)
+    model = build_model(param)
+    variables = init_variables(model, input_shape, seed=0)
+    trainer = Trainer(model, make_optimizer(1e-3))
+    state = (variables["params"], variables.get("batch_stats", {}), None, None)
+
+    rng = np.random.default_rng(0)
+    for n in [5, 13]:  # smaller than batch; with remainder
+        x = rng.uniform(size=(n, *input_shape)).astype(np.float32)
+        y = rng.integers(0, 2, (n, 2, 2)).astype(np.float32)
+        ds = ArrayDataset(x, y)
+        result = _test_model_on_dataset(
+            trainer, state, ds, batch_size=8, seed=None,
+            label_names=param["calls"], dataset_name=f"n{n}",
+            msgr=Messenger(verbosity=0),
+        )
+        conf = result["confusion_table"]
+        # every snippet contributed: the per-call Total counts cover the
+        # full split (n snippets x output_steps cells per call), and the
+        # TP/FN/FP/TN rates are well-defined
+        assert list(conf["Total"]) == [n * 2] * 2
+        assert not conf[["TP", "FN", "FP", "TN"]].isna().any().any()
+        assert np.isfinite(result["data_metrics"]["MBA"])
