@@ -162,9 +162,11 @@ def _test_model_on_dataset(
 
     y_true_parts, y_pred_parts = [], []
     losses, correct, total, n = 0.0, 0.0, 0.0, 0
-    # keep the remainder batch: the reference evaluates EVERY test snippet
-    # (keras model.predict drops nothing); a test split smaller than one
-    # batch must still produce tables instead of crashing. The short batch
+    # keep the remainder batch — an INTENTIONAL divergence: the reference
+    # loads test data with drop_remainder=True (io.py:180) and so silently
+    # excludes up to batch_size-1 snippets from its tables (and crashes on
+    # splits smaller than one batch). Every snippet counts here. The short
+    # batch
     # is padded to full size — zero inputs, MASK_VALUE labels — so mesh
     # shardings stay divisible while the masked loss/accuracy machinery
     # excludes every padded row from the metrics; padded probabilities are
