@@ -165,14 +165,11 @@ def _test_model_on_dataset(
     # keep the remainder batch — an INTENTIONAL divergence: the reference
     # loads test data with drop_remainder=True (io.py:180) and so silently
     # excludes up to batch_size-1 snippets from its tables (and crashes on
-    # splits smaller than one batch). Every snippet counts here. The short
-    # batch
-    # is padded to full size — zero inputs, MASK_VALUE labels — so mesh
-    # shardings stay divisible while the masked loss/accuracy machinery
-    # excludes every padded row from the metrics; padded probabilities are
-    # sliced off before the tables.
-    from orcai_tpu.utils import MASK_VALUE
-
+    # splits smaller than one batch). Every snippet counts here: the short
+    # batch is padded to full size — zero inputs, MASK_VALUE labels — so
+    # mesh shardings stay divisible while the masked loss/accuracy
+    # machinery excludes every padded row from the metrics; padded
+    # probabilities are sliced off before the tables.
     for x, y in dataset.batches(batch_size, seed=seed, drop_remainder=False):
         k = len(x)
         if k < batch_size:
