@@ -113,6 +113,12 @@ def cli():
 @click.option("--predict_batch_size", "-bs", type=int, default=128,
               show_default=True,
               help="Window batch size for on-device inference.")
+@click.option("--wire_codec", "-wc", "wire",
+              type=click.Choice(["auto", "exact", "mulaw8"]),
+              default="auto", show_default=True,
+              help="Host->device audio byte format: exact PCM, or 8-bit "
+                   "mu-law codes decoded on device (half the upload bytes; "
+                   "annotation-level parity). auto = mulaw8 on TPU.")
 @_verbosity_option
 def cli_predict(**kwargs):
     kwargs["msgr"] = Messenger(verbosity=kwargs["verbosity"],

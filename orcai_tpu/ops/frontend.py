@@ -45,6 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from orcai_tpu.ops.wire_codec import mulaw_decode_f32, mulaw_encode, resolve_wire
 from orcai_tpu.utils.jaxcache import enable_persistent_cache
 
 enable_persistent_cache()
@@ -123,9 +124,10 @@ def framed_dft_magnitude(
 
     Shared by the in-memory frontend and the streaming two-pass predictor.
     `audio_tile` holds (tpad - 1) * hop + n_fft samples (int16 PCM is scaled
-    on device); returns (tpad, n_bins). With use_pallas the fused Pallas
-    kernel computes it without materializing the frames matrix (requires
-    tpad divisible by its frame tile).
+    on device; uint8 is mu-law wire codes, decoded on device — see
+    ops/wire_codec.py); returns (tpad, n_bins). With use_pallas the fused
+    Pallas kernel computes it without materializing the frames matrix
+    (requires tpad divisible by its frame tile).
     """
     if use_pallas:
         from orcai_tpu.ops.pallas_dft import DEFAULT_TILE, dft_magnitude
@@ -133,7 +135,9 @@ def framed_dft_magnitude(
         return dft_magnitude(
             audio_tile, C, S, n_fft=n_fft, hop=hop, tile_frames=DEFAULT_TILE
         )
-    if audio_tile.dtype == jnp.int16:
+    if audio_tile.dtype == jnp.uint8:
+        audio_tile = mulaw_decode_f32(audio_tile)
+    elif audio_tile.dtype == jnp.int16:
         audio_tile = audio_tile.astype(jnp.float32) * (1.0 / 32768.0)
     # frame extraction via the strided-reshape trick: rows of x2 are
     # hop-sized blocks and frame t is the concatenation of blocks
@@ -325,6 +329,7 @@ def compute_spectrogram_device(
     freq_range,
     quantiles,
     precision: str = "highest",
+    wire: str | None = None,
 ) -> tuple[jnp.ndarray, int, np.ndarray, np.ndarray]:
     """Device-resident frontend for one recording.
 
@@ -332,12 +337,22 @@ def compute_spectrogram_device(
     frequencies, times). Rows >= n_valid_frames are padding artifacts; every
     statistic (dB reference, percentiles) is computed over valid frames only.
     Accepts float32 audio in [-1, 1] or raw int16 PCM (scaled on device).
+
+    `wire` picks the host->device byte format (ops/wire_codec.py): "exact"
+    uploads the PCM as-is; "mulaw8" companded 8-bit codes decoded on device
+    (half the bytes on transfer-bound links, ~38 dB quantization SNR);
+    None/"auto" resolves via ORCAI_TPU_WIRE, defaulting to mulaw8 on TPU.
     """
     audio = np.asarray(audio)
     if audio.dtype not in (np.float32, np.int16):
         audio = audio.astype(np.float32)
     if audio.ndim != 1:
         raise ValueError("compute_spectrogram expects mono audio (n,)")
+    if resolve_wire(wire) == "mulaw8":
+        # one LUT pass on host (~600 MB/s); downstream the uint8 dtype IS
+        # the wire marker — raw uint8 PCM never reaches the device paths
+        # (it is widened to float32 above / in io.wav before this point)
+        audio = mulaw_encode(audio)
     n = audio.shape[0]
     n_frames = 1 + n // hop_length
 
@@ -389,6 +404,7 @@ def compute_spectrogram(
     freq_range,
     quantiles,
     precision: str = "highest",
+    wire: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full frontend for one recording, returned to host.
 
@@ -398,7 +414,8 @@ def compute_spectrogram(
     the preprocessed spectrogram with the raw frequency vector).
     """
     out, n_frames, frequencies, times = compute_spectrogram_device(
-        audio, sampling_rate, n_fft, hop_length, freq_range, quantiles, precision
+        audio, sampling_rate, n_fft, hop_length, freq_range, quantiles,
+        precision, wire=wire,
     )
     spec = np.asarray(out[:n_frames])
     return spec, frequencies, times
@@ -428,7 +445,8 @@ def preprocess_db_spectrogram_numpy(
 
 
 def make_spectrogram_from_params(
-    audio: np.ndarray, spectrogram_parameter: dict, precision: str = "highest"
+    audio: np.ndarray, spectrogram_parameter: dict, precision: str = "highest",
+    wire: str | None = None,
 ):
     """Frontend keyed by the orcai parameter schema.
 
@@ -443,11 +461,13 @@ def make_spectrogram_from_params(
         freq_range=spectrogram_parameter["freq_range"],
         quantiles=spectrogram_parameter["quantiles"],
         precision=precision,
+        wire=wire,
     )
 
 
 def make_spectrogram_from_params_device(
-    audio: np.ndarray, spectrogram_parameter: dict, precision: str = "highest"
+    audio: np.ndarray, spectrogram_parameter: dict, precision: str = "highest",
+    wire: str | None = None,
 ):
     """Device-resident variant of make_spectrogram_from_params."""
     return compute_spectrogram_device(
@@ -458,4 +478,5 @@ def make_spectrogram_from_params_device(
         freq_range=spectrogram_parameter["freq_range"],
         quantiles=spectrogram_parameter["quantiles"],
         precision=precision,
+        wire=wire,
     )

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from orcai_tpu.ops.wire_codec import mulaw_decode_f32
+
 DEFAULT_TILE = 256
 
 
@@ -36,7 +38,12 @@ def _kernel(*refs, hop, n_fft, tile):
     im = jnp.zeros(out_ref.shape, jnp.float32)
     for j in range(k):
         x = audio_refs[j][:]
-        if x.dtype == jnp.int16:
+        if x.dtype == jnp.uint8:
+            # mu-law wire codes (ops/wire_codec.py): decode is pure integer
+            # vector ops, so the coded bytes stream into VMEM at 1/4 the
+            # float bandwidth and expand in-register
+            x = mulaw_decode_f32(x)
+        elif x.dtype == jnp.int16:
             x = x.astype(jnp.float32) * (1.0 / 32768.0)
         else:
             x = x.astype(jnp.float32)

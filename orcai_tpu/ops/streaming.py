@@ -46,6 +46,7 @@ from orcai_tpu.ops.frontend import (
     nearest_quantile_index,
     pallas_frontend_enabled,
 )
+from orcai_tpu.ops.wire_codec import mulaw_encode, resolve_wire
 from orcai_tpu.utils.jaxcache import enable_persistent_cache
 
 enable_persistent_cache()
@@ -235,7 +236,8 @@ class _AudioSource:
     """
 
     def __init__(self, audio: np.ndarray, n_fft: int, hop: int,
-                 hbm_budget_bytes: int, max_tile_frames: int):
+                 hbm_budget_bytes: int, max_tile_frames: int,
+                 wire: str = "exact"):
         self.audio = audio
         self.n = int(audio.shape[0])
         self.n_fft = n_fft
@@ -244,26 +246,38 @@ class _AudioSource:
         # tail margin covers the worst tile overrun past the last frame, so
         # device tile slices never clamp (clamping would shift alignment)
         self.max_tile_samples = (max_tile_frames - 1) * hop + n_fft
+        # mulaw8 wire (ops/wire_codec.py): tiles travel and live in HBM as
+        # uint8 codes — half the transfer and half the audio HBM — decoded
+        # by the same dtype branch every magnitude path shares, so both
+        # passes see identical decoded samples. Encoding happens chunk-wise
+        # (upload path) or per tile (host path): never a full host copy.
+        self._encode = wire == "mulaw8"
         self._dev = None
         self._slice_fns: dict[int, object] = {}
-        if audio.nbytes <= hbm_budget_bytes:
+        coded_nbytes = self.n if self._encode else audio.nbytes
+        if coded_nbytes <= hbm_budget_bytes:
             self._upload(audio)
 
     def _upload(self, audio: np.ndarray) -> None:
         """One padded HBM copy, streamed up in bounded chunks with donation."""
         total = self.offset + self.n + self.max_tile_samples
-        dtype = jnp.int16 if audio.dtype == np.int16 else jnp.float32
-        if audio.dtype not in (np.int16, np.float32):
-            audio = audio.astype(np.float32)
+        if self._encode:
+            dtype = jnp.uint8
+        else:
+            dtype = jnp.int16 if audio.dtype == np.int16 else jnp.float32
+            if audio.dtype not in (np.int16, np.float32):
+                audio = audio.astype(np.float32)
 
         @partial(jax.jit, donate_argnums=(0,))
         def write(buf, chunk, at):
             return jax.lax.dynamic_update_slice(buf, chunk, (at,))
 
-        buf = jnp.zeros((total,), dtype)
+        buf = jnp.zeros((total,), dtype)  # code 0 decodes to +0: pad is silence
         step = 64 * 1024 * 1024  # samples per upload chunk
         for start in range(0, self.n, step):
             chunk = np.ascontiguousarray(audio[start : start + step])
+            if self._encode:
+                chunk = mulaw_encode(chunk)
             buf = write(buf, jnp.asarray(chunk),
                         jnp.asarray(self.offset + start, jnp.int32))
         self._dev = jax.block_until_ready(buf)
@@ -291,6 +305,8 @@ class _AudioSource:
         lo, hi = max(0, s0), min(self.n, s1)
         if hi > lo:
             out[lo - s0 : hi - s0] = self.audio[lo:hi]
+        if self._encode:
+            out = mulaw_encode(out)
         return jnp.asarray(out)
 
 
@@ -304,8 +320,10 @@ class StreamingPredictor:
         windows_per_chunk: int = 512,
         stats_tile_frames: int = 1 << 18,
         hbm_audio_budget: int | None = None,
+        wire: str | None = None,
     ):
         self.wp = predictor
+        self.wire = resolve_wire(wire)
         sp = spectrogram_parameter
         self.sr = sp["sampling_rate"]
         self.n_fft = sp["nfft"]
@@ -434,7 +452,8 @@ class StreamingPredictor:
             self.stats_tile_frames, (self.wpc + 1) * wp.shift
         )
         source = _AudioSource(
-            audio, self.n_fft, self.hop, self.hbm_audio_budget, max_tile_frames
+            audio, self.n_fft, self.hop, self.hbm_audio_budget,
+            max_tile_frames, wire=self.wire,
         )
 
         # one Pallas decision for BOTH passes: the stats and normalize tiles

@@ -169,6 +169,7 @@ def _dispatch_wav(
     shape: dict,
     msgr: Messenger | None = None,
     progressbar: tqdm | None = None,
+    wire: str | None = None,
 ) -> dict:
     """Upload + dispatch the full device graph for one wav, WITHOUT fetching.
 
@@ -218,7 +219,7 @@ def _dispatch_wav(
             f"Recording of {n_frames_est} frames exceeds the spectrogram HBM "
             "budget: two-pass streaming inference"
         )
-        streaming = StreamingPredictor(predictor, sp)
+        streaming = StreamingPredictor(predictor, sp, wire=wire)
         if streaming.hi_idx - streaming.lo_idx != shape["input_shape"][1]:
             raise ValueError(
                 f"Spectrogram shape ({streaming.hi_idx - streaming.lo_idx}) "
@@ -235,7 +236,7 @@ def _dispatch_wav(
         }
 
     spec_dev, n_frames, _, times = make_spectrogram_from_params_device(
-        audio, sp
+        audio, sp, wire=wire
     )
     delta_t = float(times[1] - times[0])
     if spec_dev.shape[1] != shape["input_shape"][1]:
@@ -300,6 +301,7 @@ def predict_wav(
     label_suffix: str = "*",
     msgr: Messenger | None = None,
     progressbar: tqdm | None = None,
+    wire: str | None = None,
 ) -> tuple[pd.DataFrame, np.ndarray, float]:
     """Predict calls in one wav file.
 
@@ -307,7 +309,7 @@ def predict_wav(
     """
     disp = _dispatch_wav(
         recording_path, channel, predictor, orcai_parameter, shape,
-        msgr=msgr, progressbar=progressbar,
+        msgr=msgr, progressbar=progressbar, wire=wire,
     )
     return _finish_wav(
         disp, predictor, orcai_parameter, label_suffix=label_suffix, msgr=msgr
@@ -433,6 +435,7 @@ def _predict_and_save(
     label_suffix: str = "*",
     msgr: Messenger | None = None,
     progressbar: tqdm | None = None,
+    wire: str | None = None,
 ) -> None:
     if msgr is None:
         msgr = Messenger(verbosity=0)
@@ -441,7 +444,7 @@ def _predict_and_save(
     )
     disp = _dispatch_wav(
         recording_path, channel, predictor, orcai_parameter, shape,
-        msgr=msgr, progressbar=progressbar,
+        msgr=msgr, progressbar=progressbar, wire=wire,
     )
     _finish_and_save(
         disp, output_path, predictor, orcai_parameter,
@@ -465,6 +468,7 @@ def predict(
     msgr: Messenger | None = None,
     predict_batch_size: int = 128,
     predictor: WindowPredictor | None = None,
+    wire: str | None = None,
 ) -> None:
     """Predict calls in one wav file or every row of a recording table CSV.
 
@@ -473,6 +477,12 @@ def predict(
     reuses an already-built WindowPredictor for the same model (its
     executables and loaded programs carry over between calls — remote
     backends lazily load each new predictor's programs on first execution).
+
+    `wire` selects the host->device audio byte format (ops/wire_codec.py):
+    "exact" ships PCM verbatim; "mulaw8" ships 8-bit companded codes (half
+    the bytes on transfer-bound links; annotation-level parity, see
+    tests/test_wire_codec.py); None/"auto" -> ORCAI_TPU_WIRE env var, else
+    mulaw8 on TPU and exact elsewhere.
     """
     if msgr is None:
         msgr = Messenger(verbosity=verbosity, title="Predicting calls")
@@ -520,6 +530,7 @@ def predict(
             call_duration_limits=call_duration_limits,
             label_suffix=label_suffix,
             msgr=msgr,
+            wire=wire,
         )
     elif recording_path.suffix == ".csv":
         recording_table = pd.read_csv(recording_path)
@@ -601,6 +612,7 @@ def predict(
                 shape,
                 msgr=quiet,
                 progressbar=progressbar,
+                wire=wire,
             )
         except Exception as e:  # keep batch going on per-file failure
             msgr.error(
