@@ -210,3 +210,44 @@ def test_golden_predict_mulaw8_annotation_parity(tmp_path):
     got = got[got["stop"] > got["start"]].reset_index(drop=True)
     expected = expected[expected["stop"] > expected["start"]].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, expected)
+
+
+def test_golden_probability_grid_delta_bounded():
+    """The codec's effect on the aggregated probability grid is bounded:
+    on the golden wav the exact-vs-mulaw8 delta measures median ~1e-4,
+    p99 ~0.01, max ~0.07 (CPU) — far below the 0.5 decision threshold for
+    any non-marginal detection. Guards against a codec/decode regression
+    that annotation-level tests could miss (annotations only flip near
+    threshold)."""
+    from pathlib import Path
+
+    import numpy as np
+
+    from orcai_tpu.io.model_store import load_orcai_model
+    from orcai_tpu.ops.overlap import WindowPredictor
+    from orcai_tpu.pipeline.predict import predict_wav
+    from orcai_tpu.resources import MODELS_DATA_DIR
+    from orcai_tpu.utils import Messenger
+
+    model, variables, param, shape = load_orcai_model(
+        MODELS_DATA_DIR / "orcai-v1"
+    )
+    predictor = WindowPredictor(
+        model,
+        variables,
+        snippet_len=shape["input_shape"][0],
+        n_filters=len(param["model"]["filters"]),
+        batch_size=16,
+    )
+    wav = Path(__file__).parent / "fixtures" / "golden.wav"
+    probs = {}
+    for wire in ("exact", "mulaw8"):
+        _, p, _ = predict_wav(
+            wav, 1, predictor, param, shape,
+            msgr=Messenger(verbosity=0), wire=wire,
+        )
+        probs[wire] = np.asarray(p)
+    delta = np.abs(probs["exact"] - probs["mulaw8"])
+    assert float(np.median(delta)) < 1e-3
+    assert float(np.percentile(delta, 99)) < 0.05
+    assert float(delta.max()) < 0.2
