@@ -34,8 +34,16 @@ def make_spectrogram(
     orcai_parameter: dict | Path | str = DEFAULT_PARAMETER,
     verbosity: int = 2,
     msgr: Messenger | None = None,
+    wire: str = "exact",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """wav file -> (normalized spectrogram (T, bins), frequencies, times)."""
+    """wav file -> (normalized spectrogram (T, bins), frequencies, times).
+
+    Unlike predict (transient outputs, transfer-bound, auto-defaults to the
+    mu-law wire on TPU), data prep MATERIALIZES spectrograms that feed
+    training and evaluation, so `wire` defaults to "exact" here — the
+    stored arrays stay bit-faithful to the reference numerics on every
+    backend. Pass "mulaw8"/"auto" to opt in (ops/wire_codec.py).
+    """
     if msgr is None:
         msgr = Messenger(verbosity=verbosity, title="Making spectrogram")
     if isinstance(orcai_parameter, (Path, str)):
@@ -53,7 +61,9 @@ def make_spectrogram(
         msgr.warning(f"Multiple channels found, using channel {channel}")
         audio = audio[channel - 1]
 
-    spectrogram, frequencies, times = make_spectrogram_from_params(audio, sp)
+    spectrogram, frequencies, times = make_spectrogram_from_params(
+        audio, sp, wire=wire
+    )
     if len(times) > 1:
         msgr.info(f"Duration of wav file: {times[-1]:.2f} seconds")
     return spectrogram, frequencies, times
@@ -77,7 +87,9 @@ def save_spectrogram(
     write_vector_to_json(times, output_dir / "times.json")
 
 
-def _make_and_save_spectrogram(recording_info, orcai_parameter, output_dir) -> str:
+def _make_and_save_spectrogram(
+    recording_info, orcai_parameter, output_dir, wire: str = "exact"
+) -> str:
     silent = Messenger(verbosity=0)
     spectrogram, frequencies, times = make_spectrogram(
         Path(recording_info.base_dir_recording).joinpath(
@@ -86,6 +98,7 @@ def _make_and_save_spectrogram(recording_info, orcai_parameter, output_dir) -> s
         recording_info.channel,
         orcai_parameter,
         msgr=silent,
+        wire=wire,
     )
     out = Path(output_dir).joinpath(recording_info.recording, "spectrogram")
     save_spectrogram(spectrogram, frequencies, times, out, msgr=silent)
