@@ -232,18 +232,15 @@ def cpu_train_baseline_main() -> None:
 
 
 def _bandwidth_probe_mb_s(reps: int = 3) -> float:
-    """Host->device MB/s right now (64 MB int16 payload, best of reps)."""
-    import jax
+    """Host->device MB/s right now (64 MB int16 payload, best of reps);
+    the measurement itself is tools/tunnel_probe.h2d_mb_s so bench floors
+    stay comparable to that diagnostic's numbers."""
+    from orcai_tpu.tools.tunnel_probe import h2d_mb_s
 
     payload = np.random.default_rng(7).integers(
         -32768, 32768, 32 * 1024 * 1024
     ).astype(np.int16)
-    best = np.inf
-    for _ in range(reps):
-        t0 = time.time()
-        jax.block_until_ready(jax.device_put(payload, jax.devices()[0]))
-        best = min(best, time.time() - t0)
-    return round(64.0 / best, 1)
+    return h2d_mb_s(payload, reps=reps)
 
 
 def _compare_annotations(coded: Path, exact: Path) -> dict:

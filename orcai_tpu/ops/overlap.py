@@ -210,6 +210,19 @@ class WindowPredictor:
             self._n_labels = int(out.shape[-1])
         return self._n_labels
 
+    def planned_spec_bytes(self, t: int, n_bins: int, src_len: int) -> int:
+        """HBM bytes aggregate_device will hold for a (src_len, bins) f32
+        spectrogram of t valid frames: the source buffer itself plus the
+        re-padded copy _ensure_device creates when the chunk plan's
+        power-of-two span exceeds src_len (recordings near the top of a
+        frame bucket double here — wave budgeting must count it)."""
+        n_win = (t - self.snippet_len) // self.shift + 1
+        wpc = self._plan_chunk_size(n_win)
+        n_chunks = -(-n_win // wpc)
+        target = _next_pow2((n_chunks * wpc + 1) * self.shift)
+        padded = target if src_len < target else 0
+        return (src_len + padded) * n_bins * 4
+
     def _zero_grid(self, n_out_pad: int, n_labels: int):
         """Fresh donated (agg, count) device buffers with a trash row."""
         key = (n_out_pad, n_labels)

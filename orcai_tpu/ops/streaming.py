@@ -43,6 +43,7 @@ from orcai_tpu.ops.frontend import (
     fft_frequencies,
     framed_dft_magnitude,
     freq_crop_indices,
+    mxu_select_enabled,
     nearest_quantile_index,
     pallas_frontend_enabled,
 )
@@ -110,10 +111,7 @@ def _build_stats_fns(n_fft: int, hop: int, lo_idx: int, hi_idx: int, tpad: int,
     """
     C_dev, S_dev = map(jnp.asarray, _dft_mats(n_fft))
     n_bins_crop = hi_idx - lo_idx
-    use_mxu_hist = (
-        jax.default_backend() == "tpu"
-        and os.environ.get("ORCAI_TPU_DISABLE_PALLAS") != "1"
-    )
+    use_mxu_hist = mxu_select_enabled()  # same gate as the in-memory finalize
 
     def _mag(audio_tile, C, S):
         return framed_dft_magnitude(

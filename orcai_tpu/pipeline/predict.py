@@ -249,8 +249,13 @@ def _dispatch_wav(
         spec_dev, n_frames=n_frames
     )
     # device-resident footprint this recording leaves until its fetch: the
-    # (padded) spectrogram held by the chunk grid plus small output buffers
-    est_bytes = 2 * _bucket_frames(n_frames) * spec_dev.shape[1] * 4
+    # transient frontend magnitude tiles (~one bucket) plus the spectrogram
+    # and any re-padded copy the chunk plan forces (planned_spec_bytes —
+    # recordings near a bucket top double there), plus small output grids
+    est_bytes = _bucket_frames(n_frames) * spec_dev.shape[1] * 4
+    est_bytes += predictor.planned_spec_bytes(
+        n_frames, spec_dev.shape[1], spec_dev.shape[0]
+    )
     return {
         "mode": "device",
         "agg_dev": agg_dev,
@@ -569,6 +574,7 @@ def predict(
 
     wave_budget = int(os.environ.get("ORCAI_TPU_WAVE_HBM_BYTES", 6_000_000_000))
     pending: list[tuple[object, Path | None, dict]] = []
+    pending_paths: set[Path] = set()
     pending_bytes = 0
 
     def flush_wave():
@@ -588,6 +594,7 @@ def predict(
                     f"{e.args[0] if e.args else e}"
                 )
         pending.clear()
+        pending_paths.clear()
         pending_bytes = 0
 
     for i in progressbar:
@@ -604,6 +611,15 @@ def predict(
                 overwrite,
                 quiet,
             )
+            # files are written at flush time, so the on-disk existence
+            # check in _resolve_output_path cannot see a duplicate output
+            # path queued earlier in the SAME wave — without this guard the
+            # later row would silently clobber the earlier one's TSV
+            if out_path is not None and not overwrite and out_path in pending_paths:
+                raise FileExistsError(
+                    f"Annotation file already pending in this batch: "
+                    f"{out_path}"
+                )
             disp = _dispatch_wav(
                 recording_path,
                 recording_table.loc[i, "channel"],
@@ -621,6 +637,8 @@ def predict(
             )
             continue
         pending.append((i, out_path, disp))
+        if out_path is not None:
+            pending_paths.add(out_path)
         pending_bytes += disp["est_bytes"]
         if pending_bytes >= wave_budget:
             flush_wave()

@@ -43,8 +43,16 @@ def warmup(
     model_dir=None,
     predict_batch_size: int = 128,
     verbose: bool = True,
+    wire: str | None = None,
 ) -> int:
-    """Compile predict executables for every bucket; returns bucket count."""
+    """Compile predict executables for every bucket; returns bucket count.
+
+    `wire` must match the codec production predicts will use
+    (ops/wire_codec.py): the uint8 (mulaw8) and int16 (exact) frontends are
+    DIFFERENT executables, so warming one leaves the other's first run
+    cold. The default (None/"auto") resolves exactly as `orcai predict`
+    does; pass "exact" when warming for `--wire_codec exact` runs.
+    """
     from orcai_tpu.io.model_store import load_orcai_model
     from orcai_tpu.ops.frontend import make_spectrogram_from_params_device
     from orcai_tpu.ops.overlap import WindowPredictor
@@ -75,7 +83,9 @@ def warmup(
     for i, n in enumerate(counts):
         t0 = time.time()
         audio = np.zeros(n, dtype=np.int16)
-        spec_dev, n_frames, _, _ = make_spectrogram_from_params_device(audio, sp)
+        spec_dev, n_frames, _, _ = make_spectrogram_from_params_device(
+            audio, sp, wire=wire
+        )
         aggregated, overlap_count = predictor.aggregate(spec_dev, n_frames=n_frames)
         predictor.binary_predictions(aggregated, overlap_count, threshold=0.5)
         if verbose:
@@ -96,8 +106,13 @@ def main() -> None:
     ap.add_argument("--model_dir", default=None,
                     help="model directory (default: bundled orcai-v1)")
     ap.add_argument("--batch_size", type=int, default=128)
+    ap.add_argument("--wire_codec", default="auto",
+                    choices=["auto", "exact", "mulaw8"],
+                    help="wire codec to warm (must match production "
+                    "predicts; auto resolves as `orcai predict` does)")
     args = ap.parse_args()
-    n = warmup(args.minutes, args.model_dir, args.batch_size)
+    n = warmup(args.minutes, args.model_dir, args.batch_size,
+               wire=args.wire_codec)
     print(f"warmed {n} recording-length buckets")
 
 

@@ -161,7 +161,7 @@ def _test_model_on_dataset(
     params, batch_stats = state[0], state[1]
 
     y_true_parts, y_pred_parts = [], []
-    losses, correct, total, n = 0.0, 0.0, 0.0, 0
+    losses, correct, total, n_snippets = 0.0, 0.0, 0.0, 0
     # keep the remainder batch — an INTENTIONAL divergence: the reference
     # loads test data with drop_remainder=True (io.py:180) and so silently
     # excludes up to batch_size-1 snippets from its tables (and crashes on
@@ -185,15 +185,20 @@ def _test_model_on_dataset(
             params, batch_stats, jnp.asarray(x), jnp.asarray(y)
         )
         metrics = np.asarray(metrics)
-        losses += metrics[0]
+        # weight each batch's masked-mean loss by its VALID snippet count:
+        # equal to the reference's uniform per-batch mean on full batches
+        # (keras evaluate weights by batch size, all batches full there),
+        # and unbiased on the padded remainder batch (a 2-snippet tail must
+        # not weigh as much as a full batch)
+        losses += metrics[0] * k
         correct += metrics[1]
         total += metrics[2]
-        n += 1
+        n_snippets += k
         y_pred_parts.append(np.asarray(probs)[:k])
         y_true_parts.append(y[:k])
 
     data_metrics = {
-        "loss": float(losses / max(n, 1)),
+        "loss": float(losses / max(n_snippets, 1)),
         "MBA": float(correct / max(total, 1.0)),
     }
     msgr.info(data_metrics)

@@ -100,6 +100,15 @@ def process_trial_partition(
     return [i for i in range(n_submissions) if i % process_count == process_id]
 
 
+def local_device_ranks(indices) -> dict[int, int]:
+    """Global submission index -> dense 0-based rank within one process's
+    share. Trial->device assignment must use this rank, not the global
+    index: round-robin partitions make every global index congruent to
+    process_id modulo process_count, so `devices[i % n_workers]` would pin
+    all of a process's trials onto a single local device."""
+    return {i: r for r, i in enumerate(sorted(indices))}
+
+
 def _wait_for_trial(store: "TrialStore", trial_id: str,
                     timeout_s: float, poll_s: float = 2.0) -> dict:
     """Block until another process's trial record lands in the shared store."""
@@ -451,13 +460,14 @@ def hyperparameter_search(
             mine = set(process_trial_partition(
                 len(submissions), process_id, process_count
             ))
+            local_rank = local_device_ranks(mine)
             records: list[dict | None] = [None] * len(submissions)
             if n_workers > 1:
                 with ThreadPoolExecutor(max_workers=n_workers) as pool:
                     futures = {
                         i: pool.submit(
                             run_trial, cfg, r_i, tid,
-                            devices[i % n_workers],
+                            devices[local_rank[i] % n_workers],
                             initial_epoch=prev_epochs if carry else 0,
                             carry_from=carry,
                         )

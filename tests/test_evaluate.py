@@ -3,6 +3,7 @@ algorithm (test.py:37-225)."""
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from orcai_tpu.train.evaluate import (
     compute_confusion_table,
@@ -135,3 +136,17 @@ def test_test_model_covers_remainder_and_small_splits(tmp_path):
         assert list(conf["Total"]) == [n * 2] * 2
         assert not conf[["TP", "FN", "FP", "TN"]].isna().any().any()
         assert np.isfinite(result["data_metrics"]["MBA"])
+
+        # the reported loss weights each batch by its VALID snippet count,
+        # so (with no masked labels) it equals the global per-snippet mean
+        # — computed here via one batch_size=16 padded batch, which holds
+        # the whole split — regardless of how batching chops the split. A
+        # padded 5-snippet tail must not weigh like a full batch.
+        single = _test_model_on_dataset(
+            trainer, state, ds, batch_size=16, seed=None,
+            label_names=param["calls"], dataset_name=f"n{n}_single",
+            msgr=Messenger(verbosity=0),
+        )
+        assert result["data_metrics"]["loss"] == pytest.approx(
+            single["data_metrics"]["loss"], rel=1e-5
+        )

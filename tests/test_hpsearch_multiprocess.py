@@ -14,7 +14,7 @@ from pathlib import Path
 
 import numpy as np
 
-from orcai_tpu.train.hpsearch import process_trial_partition
+from orcai_tpu.train.hpsearch import local_device_ranks, process_trial_partition
 
 
 def test_partition_covers_all_trials_disjointly():
@@ -31,6 +31,22 @@ def test_partition_covers_all_trials_disjointly():
 def test_partition_deterministic():
     assert process_trial_partition(7, 1, 3) == [1, 4]
     assert process_trial_partition(7, 0, 1) == list(range(7))
+
+
+def test_local_device_ranks_spread_trials_across_local_devices():
+    """Round-robin partitions make every global index congruent to
+    process_id mod process_count; device assignment must therefore use the
+    dense within-process rank, or each process would pin all its trials on
+    one local device (devices[i % n_workers] constant over its share)."""
+    n, pc, n_workers = 16, 4, 4
+    for p in range(pc):
+        mine = process_trial_partition(n, p, pc)
+        # the broken scheme: one device per process
+        assert len({i % n_workers for i in mine}) == 1
+        ranks = local_device_ranks(mine)
+        assert sorted(ranks.values()) == list(range(len(mine)))
+        # the fixed scheme: trials spread over every local device
+        assert {ranks[i] % n_workers for i in mine} == set(range(n_workers))
 
 
 CHILD = r"""

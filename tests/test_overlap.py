@@ -72,6 +72,33 @@ def test_window_predictor_matches_reference_algorithm():
         np.testing.assert_array_equal(binary, exp_binary)
 
 
+def test_planned_spec_bytes_counts_repad_copy():
+    """Wave budgeting must count the re-padded spectrogram copy
+    aggregate_device creates when the chunk plan's power-of-two span
+    exceeds the source buffer (recordings near a bucket top double)."""
+    from orcai_tpu.ops.overlap import _next_pow2
+
+    model, variables = _model_and_vars()
+    wp = WindowPredictor(
+        model, variables, snippet_len=SNIPPET, n_filters=NFILT,
+        batch_size=4, max_windows_per_chunk=8,
+    )
+
+    for t in [SNIPPET, 200, 513, 1000, 1024]:
+        n_win = (t - SNIPPET) // wp.shift + 1
+        wpc = wp._plan_chunk_size(n_win)
+        required = (-(-n_win // wpc) * wpc + 1) * wp.shift
+        for src_len in [t, _next_pow2(t)]:
+            # ground truth: what _ensure_device actually allocates for a
+            # device-resident source of src_len frames
+            spec_dev = jnp.zeros((src_len, NBINS), jnp.float32)
+            out = wp._ensure_device(spec_dev, t, required, NBINS)
+            extra = 0 if out is spec_dev else out.shape[0] * NBINS * 4
+            assert wp.planned_spec_bytes(t, NBINS, src_len) == (
+                src_len * NBINS * 4 + extra
+            )
+
+
 def test_window_predictor_sharded_matches_single_device():
     """Window-axis sharding over the virtual 8-device mesh reproduces the
     single-device outputs (and therefore the same TSV downstream)."""

@@ -93,6 +93,53 @@ def test_predict_recording_table_batch(model_dir, tmp_path):
     assert not (out_dir / "missing_pm-test_predicted.txt").exists()
 
 
+def test_batch_duplicate_output_path_does_not_clobber(model_dir, tmp_path):
+    """Two table rows resolving to the same output file: files are written
+    at wave-flush time, so the on-disk existence check alone cannot see the
+    duplicate — without the pending-path guard the second row would
+    silently overwrite the first row's TSV (with overwrite=False the old
+    per-file path raised FileExistsError and kept the batch going)."""
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    for i in range(2):
+        _write_recording(wav_dir / f"r{i}.wav", seed=i)
+    # same 'recording' name (=> same derived output path), different wavs
+    table = pd.DataFrame(
+        {
+            "recording": ["dup", "dup"],
+            "channel": [1, 1],
+            "base_dir_recording": str(wav_dir),
+            "rel_recording_path": ["r0.wav", "r1.wav"],
+        }
+    )
+    table_path = tmp_path / "table.csv"
+    table.to_csv(table_path, index=False)
+    out_dir = tmp_path / "out"
+
+    predict(
+        table_path,
+        model_dir=model_dir,
+        output_path=out_dir,
+        msgr=Messenger(verbosity=0),
+        verbosity=0,
+        predict_batch_size=8,
+    )
+    out_file = out_dir / "dup_pm-test_predicted.txt"
+    assert out_file.exists()
+
+    # the surviving TSV is the FIRST row's prediction (r0.wav solo)
+    solo = tmp_path / "solo.txt"
+    predict(
+        wav_dir / "r0.wav",
+        model_dir=model_dir,
+        output_path=solo,
+        msgr=Messenger(verbosity=0),
+        verbosity=0,
+        predict_batch_size=8,
+    )
+    assert out_file.read_text() == solo.read_text()
+
+
 def test_predict_save_probabilities_and_filtering(model_dir, tmp_path):
     wav = tmp_path / "x.wav"
     _write_recording(wav, seed=5)
