@@ -25,8 +25,8 @@ Measurement protocol (why it is shaped this way):
   honest steady state.
 - The artifact carries the measured sustained host->device rate and the
   physical transfer floor (WIRE bytes / link rate — on TPU the audio
-  crosses the link as 8-bit mu-law codes, ops/wire_codec.py, so the wire
-  carries half the PCM bytes): link_utilization shows how completely
+  crosses the link as packed block-floating-point codes, ops/wire_codec.py,
+  so the wire carries ~0.38x the PCM bytes): link_utilization shows how completely
   compute hides behind the irreducible upload (the link rate is probed
   before AND after the timed passes — the rate drifts minute to minute,
   and >1 utilization just means the passes caught a faster phase than
@@ -36,7 +36,7 @@ Measurement protocol (why it is shaped this way):
   recording (> 40 rec-hr/min per chip).
 - Because the headline path runs the lossy wire codec, every bench run
   re-verifies annotation-level parity: one recording is re-predicted with
-  the exact int16 wire and its output TSV diffed against the mulaw8 one
+  the exact int16 wire and its output TSV diffed against the coded-wire one
   (wire.parity in the artifact).
 
 Extras cover BASELINE.md's other flagship metrics: training throughput
@@ -284,11 +284,11 @@ def _compare_annotations(coded: Path, exact: Path) -> dict:
     rest_b = [r for j, r in enumerate(rb) if j not in used]
     residual_durs = [e - s for s, e, _ in rest_a + rest_b]
     return {
-        "annotations_mulaw8": len(a),
+        "annotations_coded": len(a),
         "annotations_exact": len(b),
         "identical": len(identical),
         "boundary_shifted_le_2rows": shifted,
-        "residual_mulaw8_only": len(rest_a),
+        "residual_coded_only": len(rest_a),
         "residual_exact_only": len(rest_b),
         "residual_max_duration_s": round(max(residual_durs, default=0.0), 3),
     }
@@ -387,11 +387,11 @@ def measure_tpu_predict(model_dir: Path) -> dict:
     assert len(outputs) == N_RECORDINGS, f"expected {N_RECORDINGS} TSVs"
 
     # The timed passes ran with wire=auto; resolve what that actually was
-    # (mulaw8 on TPU): it sets the bytes each sample costs on the link.
-    from orcai_tpu.ops.wire_codec import resolve_wire
+    # (bfp6 on TPU): it sets the bytes each sample costs on the link.
+    from orcai_tpu.ops.wire_codec import resolve_wire, wire_bytes_per_sample
 
     wire_codec = resolve_wire(None)
-    bytes_per_sample = 1 if wire_codec == "mulaw8" else 2
+    bytes_per_sample = wire_bytes_per_sample(wire_codec)
 
     # lossy-wire guard: re-predict one recording with the exact int16 wire
     # and diff the annotation TSVs (the headline number must not come from

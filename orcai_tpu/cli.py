@@ -114,11 +114,13 @@ def cli():
               show_default=True,
               help="Window batch size for on-device inference.")
 @click.option("--wire_codec", "-wc", "wire",
-              type=click.Choice(["auto", "exact", "mulaw8"]),
+              type=click.Choice(["auto", "exact", "mulaw8", "bfp6", "bfp5"]),
               default="auto", show_default=True,
-              help="Host->device audio byte format: exact PCM, or 8-bit "
-                   "mu-law codes decoded on device (half the upload bytes; "
-                   "annotation-level parity). auto = mulaw8 on TPU.")
+              help="Host->device audio byte format: exact PCM; 8-bit "
+                   "mu-law codes (1 byte/sample, 38 dB SNR); or packed "
+                   "block-floating-point (bfp6 0.76 bytes/sample ~33 dB, "
+                   "bfp5 0.63 ~27 dB) decoded on device — all hold "
+                   "annotation-level parity. auto = bfp6 on TPU.")
 @_verbosity_option
 def cli_predict(**kwargs):
     kwargs["msgr"] = Messenger(verbosity=kwargs["verbosity"],

@@ -45,7 +45,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from orcai_tpu.ops.wire_codec import mulaw_decode_f32, mulaw_encode, resolve_wire
+from orcai_tpu.ops.wire_codec import (
+    bfp_decode_i16,
+    bfp_encode,
+    mulaw_decode_f32,
+    mulaw_encode,
+    resolve_wire,
+    wire_bfp_bits,
+)
 from orcai_tpu.utils.jaxcache import enable_persistent_cache
 
 enable_persistent_cache()
@@ -172,6 +179,7 @@ def _build_tile_mag_fn(
     tile: int,
     precision: str,
     use_pallas: bool = False,
+    bfp_bits: int = 0,
 ):
     """jit'd (audio_tile, n_valid) -> (cropped |S| (tile, bins), tile_max).
 
@@ -189,8 +197,17 @@ def _build_tile_mag_fn(
     )
     assert n_fft % hop == 0, "frontend requires hop dividing n_fft"
 
+    tlen = (tile - 1) * hop + n_fft
+
     @jax.jit
     def tile_fn(audio_tile, n_valid, C, S):
+        if isinstance(audio_tile, tuple):
+            # bfp wire (ops/wire_codec.py): (packed codes, block shifts) ->
+            # int16 PCM, bit-exact with the host round-trip, so every
+            # downstream path (XLA DFT, Pallas kernel) runs its ordinary
+            # int16 branch
+            packed, shifts = audio_tile
+            audio_tile = bfp_decode_i16(packed, shifts, bfp_bits)[:tlen]
         mag = framed_dft_magnitude(
             audio_tile, C, S, n_fft=n_fft, hop=hop, tpad=tile,
             precision=prec, use_pallas=use_pallas,
@@ -341,18 +358,29 @@ def compute_spectrogram_device(
     `wire` picks the host->device byte format (ops/wire_codec.py): "exact"
     uploads the PCM as-is; "mulaw8" companded 8-bit codes decoded on device
     (half the bytes on transfer-bound links, ~38 dB quantization SNR);
-    None/"auto" resolves via ORCAI_TPU_WIRE, defaulting to mulaw8 on TPU.
+    "bfp6"/"bfp5" block-floating-point packed mantissas (0.76 / 0.63 bytes
+    per sample, ~33 / 27 dB), encoded per upload chunk and decoded to int16
+    on device; None/"auto" resolves via ORCAI_TPU_WIRE, defaulting to bfp6
+    on TPU.
     """
     audio = np.asarray(audio)
     if audio.dtype not in (np.float32, np.int16):
         audio = audio.astype(np.float32)
     if audio.ndim != 1:
         raise ValueError("compute_spectrogram expects mono audio (n,)")
-    if resolve_wire(wire) == "mulaw8":
+    wire = resolve_wire(wire)
+    bfp_bits = wire_bfp_bits(wire)
+    if wire == "mulaw8":
         # one LUT pass on host (~600 MB/s); downstream the uint8 dtype IS
         # the wire marker — raw uint8 PCM never reaches the device paths
         # (it is widened to float32 above / in io.wav before this point)
         audio = mulaw_encode(audio)
+    elif bfp_bits and audio.dtype != np.int16:
+        # bfp encodes per chunk below; round float input to int16 once so
+        # chunk encodes are cheap slices of an integer buffer
+        audio = np.clip(
+            np.rint(audio.astype(np.float64) * 32768.0), -32768, 32767
+        ).astype(np.int16)
     n = audio.shape[0]
     n_frames = 1 + n // hop_length
 
@@ -364,7 +392,7 @@ def compute_spectrogram_device(
     tile, n_tiles, n_real = _tile_plan(n_frames)
     tile_fn = _build_tile_mag_fn(
         n_fft, hop_length, lo_idx, hi_idx, tile, precision,
-        use_pallas=pallas_frontend_enabled(tile),
+        use_pallas=pallas_frontend_enabled(tile), bfp_bits=bfp_bits,
     )
 
     # issue one chunk upload + one tile DFT per tile without blocking: on
@@ -376,8 +404,13 @@ def compute_spectrogram_device(
     mags, maxes = [], []
     for t in range(n_real):
         chunk = _audio_tile_chunk(audio, t, tile, n_fft, hop_length)
+        if bfp_bits:
+            packed, shifts = bfp_encode(chunk, bfp_bits)
+            dev_chunk = (jnp.asarray(packed), jnp.asarray(shifts))
+        else:
+            dev_chunk = jnp.asarray(chunk)
         n_valid = min(tile, n_frames - t * tile)
-        m, mx = tile_fn(jnp.asarray(chunk), jnp.asarray(n_valid, jnp.int32))
+        m, mx = tile_fn(dev_chunk, jnp.asarray(n_valid, jnp.int32))
         mags.append(m)
         maxes.append(mx)
     if n_real < n_tiles:

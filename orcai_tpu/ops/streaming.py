@@ -47,7 +47,17 @@ from orcai_tpu.ops.frontend import (
     nearest_quantile_index,
     pallas_frontend_enabled,
 )
-from orcai_tpu.ops.wire_codec import mulaw_encode, resolve_wire
+from orcai_tpu.ops.wire_codec import (
+    BFP_BLOCK,
+    bfp_block_bytes,
+    bfp_decode_i16,
+    bfp_encode,
+    bfp_streaming_aligned,
+    mulaw_encode,
+    resolve_wire,
+    wire_bfp_bits,
+    wire_bytes_per_sample,
+)
 from orcai_tpu.utils.jaxcache import enable_persistent_cache
 
 enable_persistent_cache()
@@ -244,21 +254,56 @@ class _AudioSource:
         # tail margin covers the worst tile overrun past the last frame, so
         # device tile slices never clamp (clamping would shift alignment)
         self.max_tile_samples = (max_tile_frames - 1) * hop + n_fft
-        # mulaw8 wire (ops/wire_codec.py): tiles travel and live in HBM as
-        # uint8 codes — half the transfer and half the audio HBM — decoded
-        # by the same dtype branch every magnitude path shares, so both
-        # passes see identical decoded samples. Encoding happens chunk-wise
-        # (upload path) or per tile (host path): never a full host copy.
+        # coded wires (ops/wire_codec.py): tiles travel and live in HBM as
+        # codes — mulaw8 halves transfer and audio HBM, bfp6/bfp5 pack
+        # further — decoded by the shared dtype branch (mulaw8) or to int16
+        # right after the slice (bfp), so both passes see identical decoded
+        # samples. Encoding happens chunk-wise (upload path) or per tile
+        # (host path): never a full host copy. bfp requires block-aligned
+        # geometry (bfp_streaming_aligned; StreamingPredictor downgrades).
         self._encode = wire == "mulaw8"
+        self._bfp = wire_bfp_bits(wire)
+        if self._bfp:
+            assert bfp_streaming_aligned(n_fft, hop), (n_fft, hop)
         self._dev = None
         self._slice_fns: dict[int, object] = {}
-        coded_nbytes = self.n if self._encode else audio.nbytes
+        coded_nbytes = int(self.n * wire_bytes_per_sample(wire)) if (
+            self._encode or self._bfp
+        ) else audio.nbytes
         if coded_nbytes <= hbm_budget_bytes:
             self._upload(audio)
 
     def _upload(self, audio: np.ndarray) -> None:
         """One padded HBM copy, streamed up in bounded chunks with donation."""
         total = self.offset + self.n + self.max_tile_samples
+        if self._bfp:
+            # packed buffer: the block grid is anchored at the padded-stream
+            # origin; offset % BFP_BLOCK == 0 (asserted via alignment gate),
+            # so it coincides with the recording-origin grid the host path
+            # uses. Zero-filled blocks decode to exact silence (two's-
+            # complement mantissas), so uninitialized padding is valid.
+            nblk = -(-total // BFP_BLOCK)
+            bpb = bfp_block_bytes(self._bfp)
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def write2(buf, sbuf, pk, sh, blk):
+                return (
+                    jax.lax.dynamic_update_slice(buf, pk, (blk * bpb,)),
+                    jax.lax.dynamic_update_slice(sbuf, sh, (blk,)),
+                )
+
+            buf = jnp.zeros((nblk * bpb,), jnp.uint8)
+            sbuf = jnp.zeros((nblk,), jnp.uint8)
+            step = 64 * 1024 * 1024  # samples per upload chunk, % BFP_BLOCK
+            for start in range(0, self.n, step):
+                chunk = np.ascontiguousarray(audio[start : start + step])
+                pk, sh = bfp_encode(chunk, self._bfp)
+                blk0 = (self.offset + start) // BFP_BLOCK
+                buf, sbuf = write2(buf, sbuf, jnp.asarray(pk),
+                                   jnp.asarray(sh),
+                                   jnp.asarray(blk0, jnp.int32))
+            self._dev = (jax.block_until_ready(buf), sbuf)
+            return
         if self._encode:
             dtype = jnp.uint8
         else:
@@ -288,6 +333,25 @@ class _AudioSource:
         length = self.tile_samples(tpad)
         a0 = t0 * self.hop  # start in the padded stream (offset included)
         if self._dev is not None:
+            if self._bfp:
+                if length not in self._slice_fns:
+                    bits = self._bfp
+                    bpb = bfp_block_bytes(bits)
+                    nblk = -(-length // BFP_BLOCK)
+
+                    @jax.jit
+                    def slice_bfp(buf, sbuf, blk):
+                        pk = jax.lax.dynamic_slice(
+                            buf, (blk * bpb,), (nblk * bpb,)
+                        )
+                        sh = jax.lax.dynamic_slice(sbuf, (blk,), (nblk,))
+                        return bfp_decode_i16(pk, sh, bits)[:length]
+
+                    self._slice_fns[length] = slice_bfp
+                buf, sbuf = self._dev
+                return self._slice_fns[length](
+                    buf, sbuf, jnp.asarray(a0 // BFP_BLOCK, jnp.int32)
+                )
             if length not in self._slice_fns:
 
                 @jax.jit
@@ -303,6 +367,20 @@ class _AudioSource:
         lo, hi = max(0, s0), min(self.n, s1)
         if hi > lo:
             out[lo - s0 : hi - s0] = self.audio[lo:hi]
+        if self._bfp:
+            # s0 % BFP_BLOCK == 0 (alignment gate), so the per-tile block
+            # grid coincides with the recording-origin grid: any sample
+            # decodes identically in every tile of either pass
+            pk, sh = bfp_encode(out, self._bfp)
+            if length not in self._slice_fns:
+                bits = self._bfp
+
+                @jax.jit
+                def decode_fn(pk, sh):
+                    return bfp_decode_i16(pk, sh, bits)[:length]
+
+                self._slice_fns[length] = decode_fn
+            return self._slice_fns[length](jnp.asarray(pk), jnp.asarray(sh))
         if self._encode:
             out = mulaw_encode(out)
         return jnp.asarray(out)
@@ -326,6 +404,12 @@ class StreamingPredictor:
         self.sr = sp["sampling_rate"]
         self.n_fft = sp["nfft"]
         self.hop = sp["n_overlap"]  # reference schema: key holds hop length
+        if wire_bfp_bits(self.wire) and not bfp_streaming_aligned(
+            self.n_fft, self.hop
+        ):
+            # packed blocks can only be sliced on block boundaries; fall
+            # back to the per-sample mulaw8 codes for odd geometries
+            self.wire = "mulaw8"
         self.freq_range = sp["freq_range"]
         self.quantiles = sp["quantiles"]
         frequencies = fft_frequencies(self.sr, self.n_fft)

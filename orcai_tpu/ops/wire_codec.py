@@ -112,13 +112,173 @@ def mulaw_decode_f32(codes: jnp.ndarray) -> jnp.ndarray:
     return x16.astype(jnp.float32) * (1.0 / 32768.0)
 
 
-def resolve_wire(wire: str | None, backend: str | None = None) -> str:
-    """Resolve a wire-codec request to 'exact' or 'mulaw8'.
+# --------------------------------------------------------------------------
+# Block-floating-point wire (bfp6 / bfp5)
+#
+# The mu-law codec's 1 byte/sample is not the floor: wire_lab measured that
+# 128-sample block-floating-point at 6-bit (0.758 bytes/sample, ~33 dB SNR)
+# and 5-bit (0.633, 27 dB) mantissas hold the same annotation-level parity
+# band as mulaw8's own perturbation (PERFORMANCE.md, wire-lab table). Layout:
+# per 128-sample block, one uint8 left-shift + 128 two's-complement
+# mantissas bit-packed little-endian (6-bit: 4 codes -> 3 bytes; 5-bit:
+# 8 codes -> 5 bytes). Two's-complement storage makes the all-zero byte
+# string decode to exact silence, so zero-initialized device buffers are
+# valid padding. Decode reconstructs int16 PCM exactly (q << shift), so
+# every downstream consumer — XLA DFT, Pallas kernel, streaming stats —
+# runs its ordinary int16 branch and the host round-trip that wire_lab
+# benchmarked is bit-identical to what the device computes.
 
-    None/'auto' -> the ORCAI_TPU_WIRE env var if set, else mulaw8 on TPU
-    backends (where uploads cross a slow link and HBM halving helps) and
-    exact elsewhere. CPU/GPU test paths therefore stay bit-identical to the
-    reference numerics unless a caller opts in.
+BFP_BLOCK = 128
+_BFP_GROUP = {6: (4, 3), 5: (8, 5)}  # mant_bits -> (codes, bytes) per group
+
+
+def bfp_bytes_per_sample(mant_bits: int) -> float:
+    """Wire bytes per PCM sample incl. the per-block shift byte."""
+    g, b = _BFP_GROUP[mant_bits]
+    return b / g + 1.0 / BFP_BLOCK
+
+
+def bfp_block_bytes(mant_bits: int) -> int:
+    """Packed mantissa bytes per 128-sample block (shift byte excluded)."""
+    g, b = _BFP_GROUP[mant_bits]
+    return BFP_BLOCK // g * b
+
+
+def _pack_np(u: np.ndarray, mant_bits: int) -> np.ndarray:
+    """(n,) codes in [0, 2^mant_bits) -> little-endian packed uint8."""
+    g, nb = _BFP_GROUP[mant_bits]
+    c = u.astype(np.uint16).reshape(-1, g)
+    out = np.empty((c.shape[0], nb), np.uint16)
+    if mant_bits == 6:
+        out[:, 0] = c[:, 0] | (c[:, 1] << 6)
+        out[:, 1] = (c[:, 1] >> 2) | (c[:, 2] << 4)
+        out[:, 2] = (c[:, 2] >> 4) | (c[:, 3] << 2)
+    else:
+        out[:, 0] = c[:, 0] | (c[:, 1] << 5)
+        out[:, 1] = (c[:, 1] >> 3) | (c[:, 2] << 2) | (c[:, 3] << 7)
+        out[:, 2] = (c[:, 3] >> 1) | (c[:, 4] << 4)
+        out[:, 3] = (c[:, 4] >> 4) | (c[:, 5] << 1) | (c[:, 6] << 6)
+        out[:, 4] = (c[:, 6] >> 2) | (c[:, 7] << 3)
+    return (out & 0xFF).astype(np.uint8).reshape(-1)
+
+
+def _unpack_cols(b, mant_bits: int):
+    """(m, nb) int byte columns -> list of g code columns (works for both
+    numpy and jax.numpy arrays: pure shifts/masks)."""
+    mask = (1 << mant_bits) - 1
+    if mant_bits == 6:
+        return [
+            b[:, 0] & mask,
+            ((b[:, 0] >> 6) | (b[:, 1] << 2)) & mask,
+            ((b[:, 1] >> 4) | (b[:, 2] << 4)) & mask,
+            (b[:, 2] >> 2) & mask,
+        ]
+    return [
+        b[:, 0] & mask,
+        ((b[:, 0] >> 5) | (b[:, 1] << 3)) & mask,
+        (b[:, 1] >> 2) & mask,
+        ((b[:, 1] >> 7) | (b[:, 2] << 1)) & mask,
+        ((b[:, 2] >> 4) | (b[:, 3] << 4)) & mask,
+        (b[:, 3] >> 1) & mask,
+        ((b[:, 3] >> 6) | (b[:, 4] << 2)) & mask,
+        (b[:, 4] >> 3) & mask,
+    ]
+
+
+def bfp_encode(x: np.ndarray, mant_bits: int = 6) -> tuple[np.ndarray, np.ndarray]:
+    """Host encode: int16 PCM (n,) -> (packed uint8, shifts uint8).
+
+    The input is zero-padded to a multiple of BFP_BLOCK (decode returns the
+    padded length; callers slice). Per block the shift is the smallest s
+    with (max |x| >> s) < 2^(mant_bits-1); mantissas are round-half-up
+    quantized and stored two's-complement so q == 0 packs to zero bytes.
+    Float input in [-1, 1] is first rounded to int16 (as mulaw_encode).
+    """
+    x = np.asarray(x)
+    if x.dtype != np.int16:
+        x = np.clip(np.rint(x.astype(np.float64) * 32768.0), -32768, 32767).astype(
+            np.int16
+        )
+    half = 1 << (mant_bits - 1)
+    pad = (-x.shape[0]) % BFP_BLOCK
+    xb = np.pad(x.astype(np.int32), (0, pad)).reshape(-1, BFP_BLOCK)
+    peak = np.abs(xb).max(axis=1, keepdims=True)
+    shift = np.zeros_like(peak)
+    for _ in range(16):  # peak < 2^16 => converges in <= 16 doublings
+        shift = np.where((peak >> shift) >= half, shift + 1, shift)
+    q = np.clip((xb + ((1 << shift) >> 1)) >> shift, -half, half - 1)
+    packed = _pack_np((q & ((1 << mant_bits) - 1)).reshape(-1), mant_bits)
+    return packed, shift.reshape(-1).astype(np.uint8)
+
+
+def bfp_decode_host(
+    packed: np.ndarray, shifts: np.ndarray, mant_bits: int = 6
+) -> np.ndarray:
+    """Host decode mirror of the device path: -> int16 (n_blocks * 128,)."""
+    g, nb = _BFP_GROUP[mant_bits]
+    half = 1 << (mant_bits - 1)
+    mask = (1 << mant_bits) - 1
+    b = np.asarray(packed, np.uint8).astype(np.int32).reshape(-1, nb)
+    u = np.stack(_unpack_cols(b, mant_bits), axis=-1).reshape(-1, BFP_BLOCK)
+    q = ((u + half) & mask) - half
+    x = q << np.asarray(shifts, np.uint8).astype(np.int32)[:, None]
+    return np.clip(x, -32768, 32767).astype(np.int16).reshape(-1)
+
+
+def bfp_decode_i16(packed, shifts, mant_bits: int = 6):
+    """Device decode: (packed uint8, shifts uint8) -> int16 PCM, bit-exact
+    with bfp_decode_host. Pure vector shifts/masks + one per-block broadcast
+    — no gathers, so it runs at VPU speed right after the tile slice."""
+    g, nb = _BFP_GROUP[mant_bits]
+    half = 1 << (mant_bits - 1)
+    mask = (1 << mant_bits) - 1
+    b = packed.astype(jnp.int32).reshape(-1, nb)
+    u = jnp.stack(_unpack_cols(b, mant_bits), axis=-1).reshape(-1, BFP_BLOCK)
+    q = ((u + half) & mask) - half
+    x = q << shifts.astype(jnp.int32)[:, None]
+    return jnp.clip(x, -32768, 32767).astype(jnp.int16).reshape(-1)
+
+
+WIRE_CODECS = ("exact", "mulaw8", "bfp6", "bfp5")
+
+
+def wire_bfp_bits(wire: str) -> int:
+    """Mantissa bits of a resolved bfp wire codec, 0 for non-bfp wires."""
+    return {"bfp6": 6, "bfp5": 5}.get(wire, 0)
+
+
+def bfp_streaming_aligned(n_fft: int, hop: int) -> bool:
+    """Whether the streaming predictor can keep a bfp buffer in HBM.
+
+    Device tile slices start at t0 * hop - n_fft // 2 in recording space;
+    the packed block grid is anchored at the recording origin, so every
+    slice must land on a BFP_BLOCK boundary: hop and the centered-STFT
+    offset n_fft // 2 must both be block multiples (true for the reference
+    defaults nfft=512, hop=256). Misaligned geometries downgrade the
+    streaming wire to mulaw8 (per-sample codes slice anywhere).
+    """
+    return hop % BFP_BLOCK == 0 and (n_fft // 2) % BFP_BLOCK == 0
+
+
+def wire_bytes_per_sample(wire: str) -> float:
+    """Host->device bytes per PCM sample for a resolved wire codec."""
+    return {
+        "exact": 2.0,
+        "mulaw8": 1.0,
+        "bfp6": bfp_bytes_per_sample(6),
+        "bfp5": bfp_bytes_per_sample(5),
+    }[wire]
+
+
+def resolve_wire(wire: str | None, backend: str | None = None) -> str:
+    """Resolve a wire-codec request to a member of WIRE_CODECS.
+
+    None/'auto' -> the ORCAI_TPU_WIRE env var if set, else bfp6 on TPU
+    backends (where uploads cross a slow link and the packed buffer also
+    shrinks resident HBM) and exact elsewhere. CPU/GPU test paths therefore
+    stay bit-identical to the reference numerics unless a caller opts in.
+    bfp5 (0.633 bytes/sample, 27 dB SNR) is opt-in: same parity band in the
+    wire lab, less headroom on unknown field recordings.
     """
     import os
 
@@ -128,7 +288,9 @@ def resolve_wire(wire: str | None, backend: str | None = None) -> str:
         import jax
 
         backend = backend or jax.default_backend()
-        wire = "mulaw8" if backend == "tpu" else "exact"
-    if wire not in ("exact", "mulaw8"):
-        raise ValueError(f"unknown wire codec {wire!r} (exact|mulaw8|auto)")
+        wire = "bfp6" if backend == "tpu" else "exact"
+    if wire not in WIRE_CODECS:
+        raise ValueError(
+            f"unknown wire codec {wire!r} ({'|'.join(WIRE_CODECS)}|auto)"
+        )
     return wire

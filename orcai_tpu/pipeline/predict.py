@@ -485,9 +485,11 @@ def predict(
 
     `wire` selects the host->device audio byte format (ops/wire_codec.py):
     "exact" ships PCM verbatim; "mulaw8" ships 8-bit companded codes (half
-    the bytes on transfer-bound links; annotation-level parity, see
-    tests/test_wire_codec.py); None/"auto" -> ORCAI_TPU_WIRE env var, else
-    mulaw8 on TPU and exact elsewhere.
+    the bytes); "bfp6"/"bfp5" ship packed block-floating-point mantissas
+    (0.76 / 0.63 bytes per sample) — all coded wires hold annotation-level
+    parity (tests/test_wire_codec.py, PERFORMANCE.md wire lab);
+    None/"auto" -> ORCAI_TPU_WIRE env var, else bfp6 on TPU and exact
+    elsewhere.
     """
     if msgr is None:
         msgr = Messenger(verbosity=verbosity, title="Predicting calls")

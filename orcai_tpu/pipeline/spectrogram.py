@@ -38,11 +38,12 @@ def make_spectrogram(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """wav file -> (normalized spectrogram (T, bins), frequencies, times).
 
-    Unlike predict (transient outputs, transfer-bound, auto-defaults to the
-    mu-law wire on TPU), data prep MATERIALIZES spectrograms that feed
+    Unlike predict (transient outputs, transfer-bound, auto-defaults to a
+    coded wire on TPU), data prep MATERIALIZES spectrograms that feed
     training and evaluation, so `wire` defaults to "exact" here — the
     stored arrays stay bit-faithful to the reference numerics on every
-    backend. Pass "mulaw8"/"auto" to opt in (ops/wire_codec.py).
+    backend. Pass "mulaw8"/"bfp6"/"bfp5"/"auto" to opt in
+    (ops/wire_codec.py).
     """
     if msgr is None:
         msgr = Messenger(verbosity=verbosity, title="Making spectrogram")

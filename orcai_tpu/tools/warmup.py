@@ -48,10 +48,11 @@ def warmup(
     """Compile predict executables for every bucket; returns bucket count.
 
     `wire` must match the codec production predicts will use
-    (ops/wire_codec.py): the uint8 (mulaw8) and int16 (exact) frontends are
-    DIFFERENT executables, so warming one leaves the other's first run
-    cold. The default (None/"auto") resolves exactly as `orcai predict`
-    does; pass "exact" when warming for `--wire_codec exact` runs.
+    (ops/wire_codec.py): the packed-bfp, uint8 (mulaw8) and int16 (exact)
+    frontends are DIFFERENT executables, so warming one leaves the other's
+    first run cold. The default (None/"auto") resolves exactly as
+    `orcai predict` does; pass "exact" when warming for
+    `--wire_codec exact` runs.
     """
     from orcai_tpu.io.model_store import load_orcai_model
     from orcai_tpu.ops.frontend import make_spectrogram_from_params_device
@@ -107,7 +108,7 @@ def main() -> None:
                     help="model directory (default: bundled orcai-v1)")
     ap.add_argument("--batch_size", type=int, default=128)
     ap.add_argument("--wire_codec", default="auto",
-                    choices=["auto", "exact", "mulaw8"],
+                    choices=["auto", "exact", "mulaw8", "bfp6", "bfp5"],
                     help="wire codec to warm (must match production "
                     "predicts; auto resolves as `orcai predict` does)")
     args = ap.parse_args()

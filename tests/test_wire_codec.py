@@ -1,23 +1,34 @@
-"""mu-law wire codec: exhaustive exactness + device decode + frontend parity.
+"""Wire codecs: exhaustive exactness + device decode + frontend parity.
 
-The codec's contract (ops/wire_codec.py): encode is the exhaustive
+mu-law contract (ops/wire_codec.py): encode is the exhaustive
 nearest-reconstruction inverse of decode (ties toward smaller magnitude),
 code 0 decodes to +0 (zero padding survives), and the device decode matches
-the host table bit-for-bit. Frontend integration parity lives here too:
-exact-vs-mulaw8 spectrograms agree to the codec's noise floor and e2e
-annotations on the synthetic test wav are identical.
+the host table bit-for-bit. bfp contract: device decode is bit-exact with
+the host round trip (so wire_lab's parity evidence transfers verbatim),
+zero bytes decode to exact silence, and per-block error is bounded by half
+the quantization step. Frontend integration parity lives here too: coded
+frontends are EXACTLY the exact frontend on host-round-tripped audio and
+e2e annotations on the synthetic test wav are identical.
 """
 
 import numpy as np
 import pytest
 
 from orcai_tpu.ops.wire_codec import (
+    BFP_BLOCK,
+    bfp_block_bytes,
+    bfp_bytes_per_sample,
+    bfp_decode_host,
+    bfp_decode_i16,
+    bfp_encode,
+    bfp_streaming_aligned,
     decode_table_int16,
     encode_table,
     mulaw_decode_f32,
     mulaw_decode_host,
     mulaw_encode,
     resolve_wire,
+    wire_bytes_per_sample,
 )
 
 
@@ -101,8 +112,10 @@ def test_float_input_encode_matches_int16():
 def test_resolve_wire():
     assert resolve_wire("exact") == "exact"
     assert resolve_wire("mulaw8") == "mulaw8"
+    assert resolve_wire("bfp6") == "bfp6"
+    assert resolve_wire("bfp5") == "bfp5"
     assert resolve_wire(None, backend="cpu") == "exact"
-    assert resolve_wire("auto", backend="tpu") == "mulaw8"
+    assert resolve_wire("auto", backend="tpu") == "bfp6"
     with pytest.raises(ValueError):
         resolve_wire("gzip")
 
@@ -212,6 +225,189 @@ def test_golden_predict_mulaw8_annotation_parity(tmp_path):
     pd.testing.assert_frame_equal(got, expected)
 
 
+# ----------------------------------------------------------- bfp6 / bfp5
+
+
+def _bfp_test_signal(n=200_000, seed=5):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    x = (
+        9000 * np.sin(2 * np.pi * 0.06 * t)
+        + 1500 * rng.standard_normal(n)
+        + 20000 * np.sin(2 * np.pi * 0.2 * t) * (t > n // 2)  # loud half
+    )
+    return np.clip(x, -32768, 32767).astype(np.int16)
+
+
+@pytest.mark.parametrize("bits", [6, 5])
+def test_bfp_device_decode_matches_host_bit_exact(bits):
+    """The device decode IS the host round trip — the property that makes
+    wire_lab's host-round-trip parity evidence transfer to the device."""
+    x = _bfp_test_signal()
+    packed, shifts = bfp_encode(x, bits)
+    host = bfp_decode_host(packed, shifts, bits)
+    dev = np.asarray(bfp_decode_i16(packed, shifts, bits))
+    np.testing.assert_array_equal(dev, host)
+    assert dev.dtype == np.int16
+    # layout arithmetic
+    nblk = -(-len(x) // BFP_BLOCK)
+    assert packed.shape == (nblk * bfp_block_bytes(bits),)
+    assert shifts.shape == (nblk,)
+
+
+@pytest.mark.parametrize("bits", [6, 5])
+def test_bfp_zero_bytes_decode_to_silence(bits):
+    """Two's-complement mantissa storage: silence encodes to all-zero bytes
+    and zero-initialized buffers decode to exact silence — the property the
+    streaming HBM buffer's zero padding relies on."""
+    pk, sh = bfp_encode(np.zeros(3 * BFP_BLOCK, np.int16), bits)
+    assert not pk.any() and not sh.any()
+    dec = bfp_decode_host(np.zeros_like(pk), np.zeros_like(sh), bits)
+    assert not dec.any()
+
+
+@pytest.mark.parametrize("bits", [6, 5])
+def test_bfp_error_bound_per_block(bits):
+    """|x - roundtrip(x)| <= 2^(shift-1) per block (round-half-up), except
+    the clipped top code which adds at most one extra step."""
+    x = _bfp_test_signal(seed=6)
+    packed, shifts = bfp_encode(x, bits)
+    rec = bfp_decode_host(packed, shifts, bits)[: len(x)].astype(np.int64)
+    err = np.abs(rec - x.astype(np.int64))
+    sh = shifts.astype(np.int64)
+    half_step = np.where(sh > 0, 1 << np.maximum(sh - 1, 0), 0)
+    bound = np.repeat(half_step + (1 << sh), BFP_BLOCK)[: len(x)]
+    assert np.all(err <= bound)
+    # SNR on this mixed-level signal comfortably above the lab floor
+    snr = 10 * np.log10(
+        np.mean(x.astype(np.float64) ** 2)
+        / max(np.mean((rec - x.astype(np.float64)) ** 2), 1e-30)
+    )
+    assert snr > (30.0 if bits == 6 else 24.0)
+
+
+@pytest.mark.parametrize("bits", [6, 5])
+def test_bfp_float_input_matches_int16(bits):
+    x = _bfp_test_signal(seed=7)[: 4 * BFP_BLOCK]
+    f = x.astype(np.float32) / 32768.0
+    pk_i, sh_i = bfp_encode(x, bits)
+    pk_f, sh_f = bfp_encode(f, bits)
+    np.testing.assert_array_equal(pk_f, pk_i)
+    np.testing.assert_array_equal(sh_f, sh_i)
+
+
+def test_bfp_bytes_per_sample():
+    assert abs(bfp_bytes_per_sample(6) - (0.75 + 1 / 128)) < 1e-12
+    assert abs(bfp_bytes_per_sample(5) - (0.625 + 1 / 128)) < 1e-12
+    assert wire_bytes_per_sample("exact") == 2.0
+    assert wire_bytes_per_sample("mulaw8") == 1.0
+    assert wire_bytes_per_sample("bfp6") == bfp_bytes_per_sample(6)
+
+
+def test_bfp_streaming_alignment_gate():
+    assert bfp_streaming_aligned(512, 256)  # reference defaults
+    assert not bfp_streaming_aligned(512, 100)
+    assert not bfp_streaming_aligned(400, 256)  # offset 200 misaligned
+
+
+@pytest.mark.parametrize("bits", [6, 5])
+def test_frontend_bfp_is_roundtrip_then_exact(bits):
+    """With block-aligned tile geometry the bfp frontend is EXACTLY the
+    exact frontend run on the host-round-tripped audio."""
+    from orcai_tpu.ops.frontend import compute_spectrogram
+
+    rng = np.random.default_rng(8)
+    sr = 48000
+    x = (rng.uniform(-0.8, 0.8, sr * 3 + 11) * 32767).astype(np.int16)
+    kw = dict(sampling_rate=sr, n_fft=512, hop_length=256,
+              freq_range=[0, 20000], quantiles=[0.02, 0.98])
+    s_wire, _, _ = compute_spectrogram(x, **kw, wire=f"bfp{bits}")
+    packed, shifts = bfp_encode(x, bits)
+    dec = bfp_decode_host(packed, shifts, bits)[: len(x)]
+    s_ref, _, _ = compute_spectrogram(dec, **kw, wire="exact")
+    np.testing.assert_array_equal(s_wire, s_ref)
+
+
+def test_audio_source_bfp_tiles():
+    """_AudioSource(wire=bfp6): host-path and HBM-path tiles both decode to
+    the recording-origin-anchored round trip of the exact-path tiles —
+    every sample decodes identically in every tile of either pass."""
+    from orcai_tpu.ops.streaming import _AudioSource
+
+    rng = np.random.default_rng(9)
+    n_fft, hop = 512, 256
+    audio = (rng.uniform(-1, 1, 50_000) * 32767).astype(np.int16)
+    # recording-origin-anchored global round trip
+    packed, shifts = bfp_encode(audio, 6)
+    audio_rt = bfp_decode_host(packed, shifts, 6)[: len(audio)]
+    kw = dict(n_fft=n_fft, hop=hop, max_tile_frames=64)
+    exact_host = _AudioSource(audio_rt, hbm_budget_bytes=0, **kw)
+    coded_host = _AudioSource(audio, hbm_budget_bytes=0, wire="bfp6", **kw)
+    coded_hbm = _AudioSource(audio, hbm_budget_bytes=1 << 30, wire="bfp6", **kw)
+    for t0 in (0, 37, 150):  # includes the zero-padded head
+        e = np.asarray(exact_host.tile(t0, 64))
+        ch = np.asarray(coded_host.tile(t0, 64))
+        cd = np.asarray(coded_hbm.tile(t0, 64))
+        np.testing.assert_array_equal(ch, e)
+        np.testing.assert_array_equal(cd, e)
+
+
+def test_streaming_predictor_downgrades_misaligned_bfp():
+    """StreamingPredictor falls back to mulaw8 when the tile geometry
+    cannot slice the packed block grid."""
+    from orcai_tpu.ops.streaming import StreamingPredictor
+
+    class _WP:  # geometry-only stand-in
+        batch_size = 8
+        snippet_len = 16
+        shift = 4
+        down = 16
+
+    sp = dict(sampling_rate=48000, nfft=400, n_overlap=100,
+              freq_range=[0, 20000], quantiles=[0.02, 0.98])
+    s = StreamingPredictor(_WP(), sp, wire="bfp6")
+    assert s.wire == "mulaw8"
+    sp_ok = dict(sp, nfft=512, n_overlap=256)
+    s2 = StreamingPredictor(_WP(), sp_ok, wire="bfp6")
+    assert s2.wire == "bfp6"
+
+
+def test_golden_predict_bfp6_annotation_parity(tmp_path):
+    """e2e: bfp6 predictions on the golden wav match the exact-wire golden
+    TSV annotation-for-annotation — same labels, every boundary within two
+    aggregation rows (~0.17 s, the tolerance bench.py's wire.parity uses;
+    on this fixture the codec shifts exactly one boundary by one row) —
+    after dropping degenerate zero-length detections."""
+    from pathlib import Path
+
+    import pandas as pd
+
+    from orcai_tpu.pipeline.predict import predict
+    from orcai_tpu.resources import MODELS_DATA_DIR
+    from orcai_tpu.utils import Messenger
+
+    fixtures = Path(__file__).parent / "fixtures"
+    out = tmp_path / "pred_bfp6.txt"
+    predict(
+        fixtures / "golden.wav",
+        model_dir=MODELS_DATA_DIR / "orcai-v1",
+        output_path=out,
+        overwrite=True,
+        msgr=Messenger(verbosity=0),
+        verbosity=0,
+        predict_batch_size=16,
+        wire="bfp6",
+    )
+    got = pd.read_csv(out, sep="\t")
+    expected = pd.read_csv(fixtures / "golden_expected.txt", sep="\t")
+    got = got[got["stop"] > got["start"]].reset_index(drop=True)
+    expected = expected[expected["stop"] > expected["start"]].reset_index(drop=True)
+    assert list(got["label"]) == list(expected["label"])
+    tol = 2 * 16 * 256 / 48000  # two aggregation rows
+    for col in ("start", "stop"):
+        np.testing.assert_allclose(got[col], expected[col], atol=tol)
+
+
 def test_golden_probability_grid_delta_bounded():
     """The codec's effect on the aggregated probability grid is bounded:
     on the golden wav the exact-vs-mulaw8 delta measures median ~1e-4,
@@ -241,13 +437,14 @@ def test_golden_probability_grid_delta_bounded():
     )
     wav = Path(__file__).parent / "fixtures" / "golden.wav"
     probs = {}
-    for wire in ("exact", "mulaw8"):
+    for wire in ("exact", "mulaw8", "bfp6"):
         _, p, _ = predict_wav(
             wav, 1, predictor, param, shape,
             msgr=Messenger(verbosity=0), wire=wire,
         )
         probs[wire] = np.asarray(p)
-    delta = np.abs(probs["exact"] - probs["mulaw8"])
-    assert float(np.median(delta)) < 1e-3
-    assert float(np.percentile(delta, 99)) < 0.05
-    assert float(delta.max()) < 0.2
+    for wire in ("mulaw8", "bfp6"):
+        delta = np.abs(probs["exact"] - probs[wire])
+        assert float(np.median(delta)) < 1e-3, wire
+        assert float(np.percentile(delta, 99)) < 0.05, wire
+        assert float(delta.max()) < 0.2, wire
