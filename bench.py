@@ -388,10 +388,32 @@ def measure_tpu_predict(model_dir: Path) -> dict:
 
     # The timed passes ran with wire=auto; resolve what that actually was
     # (bfp6 on TPU): it sets the bytes each sample costs on the link.
+    from orcai_tpu.native import native_available
     from orcai_tpu.ops.wire_codec import resolve_wire, wire_bytes_per_sample
 
     wire_codec = resolve_wire(None)
     bytes_per_sample = wire_bytes_per_sample(wire_codec)
+
+    # encoder provenance + rate: the bfp host encode sits on the critical
+    # path of a 1-core host, so the artifact records whether the C encoder
+    # (orcai_tpu/native) or the numpy fallback produced the wire bytes
+    encoder = "native-c" if native_available() else "numpy"
+    encode_mb_s = None
+    if wire_codec != "exact":
+        from orcai_tpu.ops.wire_codec import bfp_encode, mulaw_encode
+
+        probe = np.random.default_rng(5).integers(
+            -32768, 32768, 16 * 1024 * 1024
+        ).astype(np.int16)
+        enc = (
+            (lambda: mulaw_encode(probe))
+            if wire_codec == "mulaw8"
+            else (lambda: bfp_encode(probe, 6 if wire_codec == "bfp6" else 5))
+        )
+        enc()  # warm (first call may build/load the .so)
+        t0 = time.perf_counter()
+        enc()
+        encode_mb_s = round(probe.nbytes / 1e6 / (time.perf_counter() - t0), 1)
 
     # lossy-wire guard: re-predict one recording with the exact int16 wire
     # and diff the annotation TSVs (the headline number must not come from
@@ -438,6 +460,8 @@ def measure_tpu_predict(model_dir: Path) -> dict:
         "wire": {
             "codec": wire_codec,
             "bytes_per_sample": bytes_per_sample,
+            "encoder": encoder,
+            "host_encode_mb_s": encode_mb_s,
             "parity": wire_parity,
         },
         "transfer_floor": {

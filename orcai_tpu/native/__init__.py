@@ -1,0 +1,134 @@
+"""On-demand-built native (C) helpers for host-side hot loops.
+
+The package ships plain C sources (no pybind11/setuptools machinery — the
+environment's Python↔C surface is ctypes) that are compiled once per
+source-hash into ``~/.cache/orcai_tpu/native`` with the system toolchain and
+loaded via ctypes. Every native entry point has a vectorized-numpy fallback
+with identical (bit-exact, tested) semantics, so a host without a C compiler
+— or ``ORCAI_TPU_DISABLE_NATIVE=1`` — runs the same pipeline, just slower on
+the 1-core encode stage.
+
+Current contents: the wire-codec host encoders (``wirecodec.c``) — the
+block-floating-point encode is the one host loop that sits on the predict
+critical path (see ops/wire_codec.py for why).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from functools import lru_cache
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).with_name("wirecodec.c")
+
+
+def _cache_dir() -> Path:
+    return Path(
+        os.environ.get(
+            "ORCAI_TPU_NATIVE_CACHE_DIR",
+            os.path.expanduser("~/.cache/orcai_tpu/native"),
+        )
+    )
+
+
+def _compilers() -> list[str]:
+    return [os.environ["CC"]] if os.environ.get("CC") else ["cc", "gcc", "g++"]
+
+
+def _build(src: Path, out: Path) -> bool:
+    """Compile src -> out (atomic rename); True on success."""
+    out.parent.mkdir(parents=True, exist_ok=True)
+    for cc in _compilers():
+        fd, tmp = tempfile.mkstemp(dir=out.parent, suffix=".so")
+        os.close(fd)
+        try:
+            proc = subprocess.run(
+                [cc, "-O3", "-shared", "-fPIC", "-o", tmp, str(src)],
+                capture_output=True, timeout=120,
+            )
+            if proc.returncode == 0:
+                os.replace(tmp, out)  # atomic: concurrent builders race safely
+                return True
+        except (OSError, subprocess.TimeoutExpired):
+            pass
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+    return False
+
+
+@lru_cache(maxsize=1)
+def _load_wirecodec() -> ctypes.CDLL | None:
+    """Load (building if needed) the wirecodec library; None on any failure."""
+    if os.environ.get("ORCAI_TPU_DISABLE_NATIVE") == "1":
+        return None
+    try:
+        digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+        so = _cache_dir() / f"wirecodec-{digest}.so"
+        if not so.exists() and not _build(_SRC, so):
+            return None
+        lib = ctypes.CDLL(str(so))
+        lib.orcai_mulaw_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.orcai_mulaw_encode.restype = None
+        lib.orcai_bfp_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.orcai_bfp_encode.restype = None
+        return lib
+    except Exception:  # noqa: BLE001 — any failure means "use numpy"
+        return None
+
+
+def native_available() -> bool:
+    return _load_wirecodec() is not None
+
+
+def mulaw_encode_native(x: np.ndarray, lut: np.ndarray) -> np.ndarray | None:
+    """int16 PCM -> uint8 mu-law codes via C, or None if unavailable.
+
+    `lut` is wire_codec.encode_table() — sharing it keeps the native path
+    identical to the numpy path by construction.
+    """
+    lib = _load_wirecodec()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.int16)
+    out = np.empty(x.size, np.uint8)
+    lib.orcai_mulaw_encode(
+        x.ctypes.data, x.size, lut.ctypes.data, out.ctypes.data
+    )
+    return out.reshape(x.shape)
+
+
+def bfp_encode_native(
+    x: np.ndarray, mant_bits: int, block: int, block_bytes: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """int16 PCM (n,) -> (packed uint8, shifts uint8) via C, or None.
+
+    Zero-pads to a whole number of `block`-sample blocks (as the numpy
+    encoder does); bit-exact with wire_codec.bfp_encode.
+    """
+    lib = _load_wirecodec()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.int16)
+    pad = (-x.shape[0]) % block
+    if pad:
+        x = np.pad(x, (0, pad))
+    n_blocks = x.shape[0] // block
+    packed = np.empty(n_blocks * block_bytes, np.uint8)
+    shifts = np.empty(n_blocks, np.uint8)
+    lib.orcai_bfp_encode(
+        x.ctypes.data, n_blocks, mant_bits, packed.ctypes.data,
+        shifts.ctypes.data,
+    )
+    return packed, shifts

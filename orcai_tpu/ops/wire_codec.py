@@ -81,18 +81,26 @@ def encode_table() -> np.ndarray:
     return lut
 
 
-def mulaw_encode(x: np.ndarray) -> np.ndarray:
+def mulaw_encode(x: np.ndarray, *, native: bool = True) -> np.ndarray:
     """Host-side encode: int16 PCM (any shape) -> uint8 mu-law codes.
 
     float input in [-1, 1] is first rounded to int16 (the device's exact
     wire applies the same 1/32768 scaling, so this adds at most half an
-    int16 LSB on top of the mu-law cell width).
+    int16 LSB on top of the mu-law cell width). Dispatches to the C loop in
+    orcai_tpu.native when available (identical by construction — it indexes
+    the same LUT); `native=False` forces the numpy path (tests).
     """
     x = np.asarray(x)
     if x.dtype != np.int16:
         x = np.clip(np.rint(x.astype(np.float64) * 32768.0), -32768, 32767).astype(
             np.int16
         )
+    if native:
+        from orcai_tpu.native import mulaw_encode_native
+
+        out = mulaw_encode_native(x, encode_table())
+        if out is not None:
+            return out
     return encode_table()[x.view(np.uint16)]
 
 
@@ -185,7 +193,9 @@ def _unpack_cols(b, mant_bits: int):
     ]
 
 
-def bfp_encode(x: np.ndarray, mant_bits: int = 6) -> tuple[np.ndarray, np.ndarray]:
+def bfp_encode(
+    x: np.ndarray, mant_bits: int = 6, *, native: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
     """Host encode: int16 PCM (n,) -> (packed uint8, shifts uint8).
 
     The input is zero-padded to a multiple of BFP_BLOCK (decode returns the
@@ -193,12 +203,26 @@ def bfp_encode(x: np.ndarray, mant_bits: int = 6) -> tuple[np.ndarray, np.ndarra
     with (max |x| >> s) < 2^(mant_bits-1); mantissas are round-half-up
     quantized and stored two's-complement so q == 0 packs to zero bytes.
     Float input in [-1, 1] is first rounded to int16 (as mulaw_encode).
+
+    Dispatches to the C encoder in orcai_tpu.native when available: this
+    encode sits on the predict critical path (one host core; the numpy pass
+    runs at the same order as the link rate) and the C loop is ~10x faster.
+    Bit-exact equality between the two paths is asserted in tests;
+    `native=False` forces numpy.
     """
     x = np.asarray(x)
     if x.dtype != np.int16:
         x = np.clip(np.rint(x.astype(np.float64) * 32768.0), -32768, 32767).astype(
             np.int16
         )
+    if native:
+        from orcai_tpu.native import bfp_encode_native
+
+        out = bfp_encode_native(
+            x, mant_bits, BFP_BLOCK, bfp_block_bytes(mant_bits)
+        )
+        if out is not None:
+            return out
     half = 1 << (mant_bits - 1)
     pad = (-x.shape[0]) % BFP_BLOCK
     xb = np.pad(x.astype(np.int32), (0, pad)).reshape(-1, BFP_BLOCK)
