@@ -1,0 +1,109 @@
+"""A/B probe: batch-predict wall time per wire codec, interleaved.
+
+Diagnoses whether a throughput regression tracks the wire codec or the
+host/tunnel phase: runs the bench five-recording batch alternately with
+two codecs (default bfp6 vs mulaw8) plus a fixed host-speed microprobe
+between passes, in ONE process with a shared warmed predictor. If codec A
+is consistently slower than its neighbours in time, the codec path is the
+problem; if slow passes cluster in time regardless of codec — and the
+host probe slows with them — it is phase weather.
+
+Usage: python -m orcai_tpu.tools.wire_ab_probe [codecA codecB [n_rounds]]
+Requires the bench wavs (run `python bench.py` once to create them).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def host_probe_ms() -> float:
+    """Fixed host workload (~100 MB of numpy traffic) -> milliseconds."""
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(0)
+    x = rng.integers(-32768, 32768, 12_000_000).astype(np.int16)
+    for _ in range(3):
+        y = x.astype(np.int32)
+        z = np.abs(y).reshape(-1, 128).max(axis=1)
+        _ = z.sum()
+    return (time.perf_counter() - t0) * 1000.0
+
+
+def main() -> None:
+    codecs = (sys.argv[1], sys.argv[2]) if len(sys.argv) >= 3 else ("bfp6", "mulaw8")
+    n_rounds = int(sys.argv[3]) if len(sys.argv) >= 4 else 3
+
+    repo = Path(__file__).resolve().parents[2]
+    bench_dir = repo / ".bench"
+    wavs = sorted(bench_dir.glob("bench_20min_[0-9].wav"))
+    if len(wavs) < 5:
+        raise SystemExit("bench wavs missing; run `python bench.py` first")
+    wavs = wavs[:5]
+
+    import pandas as pd
+
+    from orcai_tpu.io.model_store import load_orcai_model
+    from orcai_tpu.ops.overlap import WindowPredictor
+    from orcai_tpu.pipeline.predict import _dispatch_wav, predict
+    from orcai_tpu.resources import MODELS_DATA_DIR
+    from orcai_tpu.utils import Messenger
+
+    table_path = bench_dir / "ab_table.csv"
+    pd.DataFrame({
+        "recording": [w.stem for w in wavs],
+        "base_dir_recording": [str(w.parent) for w in wavs],
+        "rel_recording_path": [w.name for w in wavs],
+        "channel": [1] * len(wavs),
+    }).to_csv(table_path, index=False)
+    out_dir = bench_dir / "ab_out"
+    out_dir.mkdir(exist_ok=True)
+
+    model_dir = MODELS_DATA_DIR / "orcai-v1"
+    model, variables, orcai_parameter, shape = load_orcai_model(model_dir)
+    predictor = WindowPredictor(
+        model, variables,
+        snippet_len=shape["input_shape"][0],
+        n_filters=len(orcai_parameter["model"]["filters"]),
+        batch_size=128,
+    )
+    msgr = Messenger(verbosity=0)
+
+    # warm + force (readiness APIs lie until the first fetch)
+    disp = _dispatch_wav(wavs[0], 1, predictor, orcai_parameter, shape, msgr=msgr)
+    _ = np.asarray(disp["count_dev"][:1])
+    del disp
+
+    results = []
+    for rnd in range(n_rounds):
+        for codec in codecs:
+            hp0 = host_probe_ms()
+            t0 = time.time()
+            predict(
+                table_path, model_dir=model_dir, output_path=out_dir,
+                overwrite=True, msgr=msgr, verbosity=0,
+                predict_batch_size=128, predictor=predictor, wire=codec,
+            )
+            wall = time.time() - t0
+            hp1 = host_probe_ms()
+            rec = {
+                "round": rnd, "codec": codec, "wall_s": round(wall, 2),
+                "host_probe_ms_before": round(hp0, 1),
+                "host_probe_ms_after": round(hp1, 1),
+            }
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+
+    by_codec = {
+        c: sorted(r["wall_s"] for r in results if r["codec"] == c)
+        for c in codecs
+    }
+    print(json.dumps({"summary": by_codec}))
+
+
+if __name__ == "__main__":
+    main()
