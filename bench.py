@@ -21,7 +21,7 @@ Measurement protocol (why it is shaped this way):
   return before queued work actually runs; the only real sync is a
   device->host fetch, and a process's FIRST fetch pays every lazy program
   load. bench therefore warms with one dispatched graph + one 4-byte
-  forcing fetch, then times 3 full batch passes (median) in the backend's
+  forcing fetch, then times 5 full batch passes (median) in the backend's
   honest steady state.
 - The artifact carries the measured sustained host->device rate and the
   physical transfer floor (WIRE bytes / link rate — on TPU the audio
@@ -374,7 +374,13 @@ def measure_tpu_predict(model_dir: Path) -> dict:
         return time.time() - t0
 
     hours = N_RECORDINGS * BENCH_MINUTES / 60
-    passes = [batch_pass() for _ in range(3)]
+    # median of 5 back-to-back passes: the link/host phase intermittently
+    # drops into a ~15 MB/s plateau for one pass (tools/wire_ab_probe.py
+    # showed it is codec-independent and clusters in time); with a ~1-in-3
+    # incidence a median of 3 flips between the fast and degraded states
+    # (r3_run8 vs r3_run9), a median of 5 is robust to <=2 degraded passes
+    # while keeping the honest sustained back-to-back protocol
+    passes = [batch_pass() for _ in range(5)]
     wall_s = float(np.median(passes))
     # probe again after the passes: the tunnel's rate drifts minute to
     # minute, and a floor computed from one low-phase probe can claim

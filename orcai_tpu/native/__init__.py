@@ -109,6 +109,35 @@ def mulaw_encode_native(x: np.ndarray, lut: np.ndarray) -> np.ndarray | None:
     return out.reshape(x.shape)
 
 
+def bfp_encode_into(
+    x: np.ndarray,
+    mant_bits: int,
+    block: int,
+    packed_out: np.ndarray,
+    shifts_out: np.ndarray,
+) -> bool:
+    """Encode into caller-provided output views (e.g. one shared buffer).
+
+    Returns False (without touching the outputs) when the native library is
+    unavailable. The outputs must be C-contiguous uint8 views sized for
+    ceil(len(x)/block) blocks; x is zero-padded to a whole block count.
+    """
+    lib = _load_wirecodec()
+    if lib is None:
+        return False
+    x = np.ascontiguousarray(x, dtype=np.int16)
+    pad = (-x.shape[0]) % block
+    if pad:
+        x = np.pad(x, (0, pad))
+    n_blocks = x.shape[0] // block
+    assert shifts_out.size == n_blocks and packed_out.flags.c_contiguous
+    lib.orcai_bfp_encode(
+        x.ctypes.data, n_blocks, mant_bits, packed_out.ctypes.data,
+        shifts_out.ctypes.data,
+    )
+    return True
+
+
 def bfp_encode_native(
     x: np.ndarray, mant_bits: int, block: int, block_bytes: int
 ) -> tuple[np.ndarray, np.ndarray] | None:

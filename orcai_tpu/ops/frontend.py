@@ -46,8 +46,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from orcai_tpu.ops.wire_codec import (
-    bfp_decode_i16,
-    bfp_encode,
+    bfp_decode_wire_i16,
+    bfp_encode_wire,
     mulaw_decode_f32,
     mulaw_encode,
     resolve_wire,
@@ -201,13 +201,13 @@ def _build_tile_mag_fn(
 
     @jax.jit
     def tile_fn(audio_tile, n_valid, C, S):
-        if isinstance(audio_tile, tuple):
-            # bfp wire (ops/wire_codec.py): (packed codes, block shifts) ->
-            # int16 PCM, bit-exact with the host round-trip, so every
+        if bfp_bits:
+            # bfp wire (ops/wire_codec.py): ONE uint8 buffer holding
+            # [packed mantissas || shift bytes] (a single upload per chunk)
+            # -> int16 PCM, bit-exact with the host round-trip, so every
             # downstream path (XLA DFT, Pallas kernel) runs its ordinary
             # int16 branch
-            packed, shifts = audio_tile
-            audio_tile = bfp_decode_i16(packed, shifts, bfp_bits)[:tlen]
+            audio_tile = bfp_decode_wire_i16(audio_tile, bfp_bits)[:tlen]
         mag = framed_dft_magnitude(
             audio_tile, C, S, n_fft=n_fft, hop=hop, tpad=tile,
             precision=prec, use_pallas=use_pallas,
@@ -405,8 +405,7 @@ def compute_spectrogram_device(
     for t in range(n_real):
         chunk = _audio_tile_chunk(audio, t, tile, n_fft, hop_length)
         if bfp_bits:
-            packed, shifts = bfp_encode(chunk, bfp_bits)
-            dev_chunk = (jnp.asarray(packed), jnp.asarray(shifts))
+            dev_chunk = jnp.asarray(bfp_encode_wire(chunk, bfp_bits))
         else:
             dev_chunk = jnp.asarray(chunk)
         n_valid = min(tile, n_frames - t * tile)

@@ -51,7 +51,9 @@ from orcai_tpu.ops.wire_codec import (
     BFP_BLOCK,
     bfp_block_bytes,
     bfp_decode_i16,
+    bfp_decode_wire_i16,
     bfp_encode,
+    bfp_encode_wire,
     bfp_streaming_aligned,
     mulaw_encode,
     resolve_wire,
@@ -370,17 +372,18 @@ class _AudioSource:
         if self._bfp:
             # s0 % BFP_BLOCK == 0 (alignment gate), so the per-tile block
             # grid coincides with the recording-origin grid: any sample
-            # decodes identically in every tile of either pass
-            pk, sh = bfp_encode(out, self._bfp)
+            # decodes identically in every tile of either pass. Single
+            # [packed || shifts] buffer: one upload per tile, not two.
+            wirebuf = bfp_encode_wire(out, self._bfp)
             if length not in self._slice_fns:
                 bits = self._bfp
 
                 @jax.jit
-                def decode_fn(pk, sh):
-                    return bfp_decode_i16(pk, sh, bits)[:length]
+                def decode_fn(buf):
+                    return bfp_decode_wire_i16(buf, bits)[:length]
 
                 self._slice_fns[length] = decode_fn
-            return self._slice_fns[length](jnp.asarray(pk), jnp.asarray(sh))
+            return self._slice_fns[length](jnp.asarray(wirebuf))
         if self._encode:
             out = mulaw_encode(out)
         return jnp.asarray(out)

@@ -263,6 +263,53 @@ def bfp_decode_i16(packed, shifts, mant_bits: int = 6):
     return jnp.clip(x, -32768, 32767).astype(jnp.int16).reshape(-1)
 
 
+def bfp_encode_wire(
+    x: np.ndarray, mant_bits: int = 6, *, native: bool = True
+) -> np.ndarray:
+    """Host encode into ONE wire buffer: [packed mantissas || shift bytes].
+
+    Semantically identical to bfp_encode, but the two output arrays share a
+    single uint8 allocation so a chunk crosses the host->device link as ONE
+    upload instead of two. On remote-dispatch backends every upload is an
+    RPC; the separate (~tile/128)-byte shifts arrays each paid the per-call
+    floor for ~0.1% of the bytes. Layout: n_blocks * block_bytes packed
+    mantissas followed by n_blocks shift bytes (n_blocks recoverable from
+    the length: len = n_blocks * (block_bytes + 1)).
+    """
+    x = np.asarray(x)
+    if x.dtype != np.int16:
+        x = np.clip(np.rint(x.astype(np.float64) * 32768.0), -32768, 32767).astype(
+            np.int16
+        )
+    bpb = bfp_block_bytes(mant_bits)
+    n_blocks = -(-x.shape[0] // BFP_BLOCK)
+    buf = np.empty(n_blocks * (bpb + 1), np.uint8)
+    pk_view = buf[: n_blocks * bpb]
+    sh_view = buf[n_blocks * bpb :]
+    if native:
+        from orcai_tpu.native import bfp_encode_into
+
+        if bfp_encode_into(x, mant_bits, BFP_BLOCK, pk_view, sh_view):
+            return buf
+    pk, sh = bfp_encode(x, mant_bits, native=False)
+    pk_view[:] = pk
+    sh_view[:] = sh
+    return buf
+
+
+def bfp_wire_split(buf, mant_bits: int):
+    """(packed, shifts) views of a bfp_encode_wire buffer (numpy or jax)."""
+    bpb = bfp_block_bytes(mant_bits)
+    n_blocks = buf.shape[0] // (bpb + 1)
+    return buf[: n_blocks * bpb], buf[n_blocks * bpb :]
+
+
+def bfp_decode_wire_i16(buf, mant_bits: int = 6):
+    """Device decode of a single-buffer bfp wire -> int16 PCM."""
+    packed, shifts = bfp_wire_split(buf, mant_bits)
+    return bfp_decode_i16(packed, shifts, mant_bits)
+
+
 WIRE_CODECS = ("exact", "mulaw8", "bfp6", "bfp5")
 
 

@@ -16,6 +16,8 @@ from orcai_tpu.ops.wire_codec import (
     BFP_BLOCK,
     bfp_decode_host,
     bfp_encode,
+    bfp_encode_wire,
+    bfp_wire_split,
     mulaw_decode_host,
     mulaw_encode,
 )
@@ -78,6 +80,32 @@ def test_mulaw_encode_preserves_shape():
     rng = np.random.default_rng(5)
     x = rng.integers(-32768, 32768, (7, 33)).astype(np.int16)
     assert mulaw_encode(x, native=True).shape == (7, 33)
+
+
+@pytest.mark.parametrize("mant_bits", [6, 5])
+def test_wire_buffer_equals_tuple_api(mant_bits):
+    """bfp_encode_wire = [packed || shifts] of bfp_encode, native and numpy."""
+    for x in _cases():
+        pk, sh = bfp_encode(x, mant_bits, native=False)
+        for native_flag in (True, False):
+            buf = bfp_encode_wire(x, mant_bits, native=native_flag)
+            assert buf.dtype == np.uint8 and buf.ndim == 1
+            wpk, wsh = bfp_wire_split(buf, mant_bits)
+            np.testing.assert_array_equal(wpk, pk)
+            np.testing.assert_array_equal(wsh, sh)
+
+
+def test_wire_buffer_device_decode():
+    """Device wire decode of the single buffer == host tuple decode."""
+    from orcai_tpu.ops.wire_codec import bfp_decode_wire_i16
+
+    rng = np.random.default_rng(21)
+    x = rng.integers(-32768, 32768, 5 * BFP_BLOCK + 17).astype(np.int16)
+    buf = bfp_encode_wire(x, 6)
+    pk, sh = bfp_encode(x, 6, native=False)
+    np.testing.assert_array_equal(
+        np.asarray(bfp_decode_wire_i16(buf, 6)), bfp_decode_host(pk, sh, 6)
+    )
 
 
 def test_disable_env_falls_back(monkeypatch):
