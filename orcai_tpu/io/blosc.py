@@ -28,10 +28,9 @@ Byte-shuffle is applied per block: the shuffled image groups byte-plane i
 of every element together; a trailing ``blocksize % typesize`` remainder
 stays unshuffled.
 
-Inner codecs supported: lz4 (pure-python block decode), zlib (stdlib) and
-zstd (via zarrlite's gated hook); blosclz and snappy raise with a clear
-message. Pure-python lz4 decode is fixture/interop-grade (a few MB/s), not
-a production hot path — the pipeline's own stores use gzip or raw.
+Inner codecs supported: lz4 (C block decoder from orcai_tpu.native when a
+compiler exists, pure-python fallback), zlib (stdlib) and zstd (via
+zarrlite's gated hook); blosclz and snappy raise with a clear message.
 """
 
 from __future__ import annotations
@@ -53,8 +52,22 @@ _CODECS = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
 # ------------------------------------------------------------------ lz4
 
 
-def lz4_decompress_block(src: bytes, dest_size: int) -> bytes:
-    """Decode one raw LZ4 block (no frame) of known decompressed size."""
+def lz4_decompress_block(
+    src: bytes, dest_size: int, *, native: bool = True
+) -> bytes:
+    """Decode one raw LZ4 block (no frame) of known decompressed size.
+
+    Dispatches to the C decoder in orcai_tpu.native when available (the
+    Python loop below is the semantics reference and fallback; byte-equal
+    output asserted in tests) — bulk reads of upstream blosc-lz4 zarr
+    stores run at memcpy speed instead of a few MB/s.
+    """
+    if native:
+        from orcai_tpu.native import lz4_decompress_native
+
+        out = lz4_decompress_native(src, dest_size)
+        if out is not None:
+            return out
     dst = bytearray(dest_size)
     s, d, n = 0, 0, len(src)
     while s < n:

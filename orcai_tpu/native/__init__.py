@@ -25,7 +25,8 @@ from pathlib import Path
 
 import numpy as np
 
-_SRC = Path(__file__).with_name("wirecodec.c")
+def _sources() -> list[Path]:
+    return sorted(Path(__file__).parent.glob("*.c"))
 
 
 def _cache_dir() -> Path:
@@ -41,15 +42,16 @@ def _compilers() -> list[str]:
     return [os.environ["CC"]] if os.environ.get("CC") else ["cc", "gcc", "g++"]
 
 
-def _build(src: Path, out: Path) -> bool:
-    """Compile src -> out (atomic rename); True on success."""
+def _build(srcs: list[Path], out: Path) -> bool:
+    """Compile srcs -> out (atomic rename); True on success."""
     out.parent.mkdir(parents=True, exist_ok=True)
     for cc in _compilers():
         fd, tmp = tempfile.mkstemp(dir=out.parent, suffix=".so")
         os.close(fd)
         try:
             proc = subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", tmp, str(src)],
+                [cc, "-O3", "-shared", "-fPIC", "-o", tmp]
+                + [str(s) for s in srcs],
                 capture_output=True, timeout=120,
             )
             if proc.returncode == 0:
@@ -65,13 +67,21 @@ def _build(src: Path, out: Path) -> bool:
 
 @lru_cache(maxsize=1)
 def _load_wirecodec() -> ctypes.CDLL | None:
-    """Load (building if needed) the wirecodec library; None on any failure."""
+    """Load (building if needed) the native library; None on any failure.
+
+    One .so covers every native helper; its name hashes all C sources, so
+    editing any of them rebuilds on next use.
+    """
     if os.environ.get("ORCAI_TPU_DISABLE_NATIVE") == "1":
         return None
     try:
-        digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
-        so = _cache_dir() / f"wirecodec-{digest}.so"
-        if not so.exists() and not _build(_SRC, so):
+        srcs = _sources()
+        h = hashlib.sha256()
+        for s in srcs:
+            h.update(s.name.encode())
+            h.update(s.read_bytes())
+        so = _cache_dir() / f"orcai-native-{h.hexdigest()[:16]}.so"
+        if not so.exists() and not _build(srcs, so):
             return None
         lib = ctypes.CDLL(str(so))
         lib.orcai_mulaw_encode.argtypes = [
@@ -83,6 +93,12 @@ def _load_wirecodec() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.orcai_bfp_encode.restype = None
+        # c_char_p for the buffers: ctypes passes bytes / string buffers
+        # by address directly (c_void_p would require manual casts)
+        lib.orcai_lz4_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.orcai_lz4_decompress.restype = ctypes.c_int64
         return lib
     except Exception:  # noqa: BLE001 — any failure means "use numpy"
         return None
@@ -90,6 +106,25 @@ def _load_wirecodec() -> ctypes.CDLL | None:
 
 def native_available() -> bool:
     return _load_wirecodec() is not None
+
+
+def lz4_decompress_native(src: bytes, dest_size: int) -> bytes | None:
+    """LZ4 block decode via C, or None if unavailable.
+
+    Raises ValueError on malformed input (same contract as the Python
+    decoder in io/blosc.py, which is the fallback and semantics reference).
+    """
+    lib = _load_wirecodec()
+    if lib is None:
+        return None
+    dst = ctypes.create_string_buffer(dest_size)
+    n = lib.orcai_lz4_decompress(src, len(src), dst, dest_size)
+    if n != dest_size:
+        raise ValueError(
+            "corrupt lz4 block: bad match offset, truncation, or overrun "
+            f"(produced {n} bytes, expected {dest_size})"
+        )
+    return dst.raw
 
 
 def mulaw_encode_native(x: np.ndarray, lut: np.ndarray) -> np.ndarray | None:

@@ -122,6 +122,39 @@ def test_disable_env_falls_back(monkeypatch):
         native._load_wirecodec.cache_clear()
 
 
+def test_lz4_native_equals_python():
+    """C lz4 decode == Python decode on compressor output and edge streams."""
+    from orcai_tpu.io.blosc import lz4_compress_block, lz4_decompress_block
+
+    rng = np.random.default_rng(17)
+    base = np.arange(256, dtype=np.uint8).tobytes()
+    cases = [
+        b"",
+        b"x" * 13,
+        base * 100,  # long matches
+        rng.integers(0, 256, 50_000).astype(np.uint8).tobytes(),  # literals
+        (base[:7] * 5000),  # overlapping matches (offset < length)
+    ]
+    for data in cases:
+        comp = lz4_compress_block(data)
+        nat = lz4_decompress_block(comp, len(data), native=True)
+        ref = lz4_decompress_block(comp, len(data), native=False)
+        assert nat == ref == data
+
+
+def test_lz4_native_rejects_corrupt():
+    from orcai_tpu.io.blosc import lz4_decompress_block
+
+    # match offset 5 at write position 1 — invalid
+    stream = bytes([(1 << 4) | 0]) + b"a" + bytes([5, 0])
+    for native_flag in (True, False):
+        with pytest.raises(ValueError, match="offset"):
+            lz4_decompress_block(stream, 16, native=native_flag)
+    # truncated literal run
+    with pytest.raises(ValueError):
+        lz4_decompress_block(bytes([15 << 4]), 64, native=True)
+
+
 def test_native_speedup_is_real():
     """The point of the C path: meaningfully faster than numpy on big input.
 
