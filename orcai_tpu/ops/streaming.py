@@ -68,6 +68,7 @@ enable_persistent_cache()
 # both the in-flight upload backlog (bounded-memory contract) and the
 # int32 bin counts (N * tile_frames * n_bins must stay < 2^31)
 _SYNC_TILES = 8
+_SYNC_CHUNKS = 4  # normalize-pass chunks between forcing fetches (pass 2)
 
 
 @lru_cache(maxsize=None)
@@ -571,14 +572,22 @@ class StreamingPredictor:
             wp._chunk_fns[key] = wp._build_chunk_fn(tile_frames, n_bins, wpc)
         chunk_fn = wp._chunk_fns[key]
 
-        # per-chunk LOCAL output grids (w0 = 0), fetched each sweep and
-        # accumulated on host: bounded device memory is this module's whole
-        # contract, unlike the in-memory path's device-resident global grid
-        n_out_chunk = (wpc - 1) * wp.shift_out + wp.out_len
-        agg = np.zeros((n_out_total, 0), np.float32)
-        count = np.zeros((n_out_total,), np.float32)
-        initialized = False
-        for w0 in range(0, n_win, wpc):
+        # device-resident GLOBAL output grid (it is O(frames/16) — tiny,
+        # ~7 MB for six hours — so holding it in HBM does not strain the
+        # bounded-memory contract, which is about audio/spectrogram bytes):
+        # every chunk scatter-adds into the donated grid with its real w0,
+        # exactly as the in-memory path does, and the host fetches ONCE at
+        # the end. The old per-chunk grid fetch was a queue-drain round
+        # trip per ~14 min of audio, serializing the whole pass on link
+        # latency. A small forcing fetch every _SYNC_CHUNKS chunks still
+        # bounds the in-flight dispatch backlog (each queued chunk holds a
+        # ~(wpc*shift, bins) f32 normalize output until it executes).
+        n_chunks = -(-n_win // wpc)
+        n_out_pad = max(
+            (n_chunks * wpc - 1) * wp.shift_out + wp.out_len, n_out_total
+        )
+        agg_dev, cnt_dev = wp._zero_grid(n_out_pad, wp.n_labels(n_bins))
+        for k, w0 in enumerate(range(0, n_win, wpc)):
             n_valid = min(wpc, n_win - w0)
             spec_tile = norm_fn(
                 source.tile(w0 * wp.shift, tile_frames),
@@ -586,26 +595,20 @@ class StreamingPredictor:
                 jnp.asarray(lo_db, jnp.float32),
                 jnp.asarray(hi_db, jnp.float32),
             )
-            aggz, cntz = wp._zero_grid(n_out_chunk, wp.n_labels(n_bins))
-            prob_sum, cnt = chunk_fn(
-                aggz,
-                cntz,
+            agg_dev, cnt_dev = chunk_fn(
+                agg_dev,
+                cnt_dev,
                 wp.variables,
                 spec_tile,
                 jnp.asarray(0, jnp.int32),
-                jnp.asarray(0, jnp.int32),
+                jnp.asarray(w0, jnp.int32),
                 jnp.asarray(n_valid, jnp.int32),
             )
-            prob_sum = np.asarray(prob_sum)[:-1]  # strip the trash row
-            cnt = np.asarray(cnt)[:-1]
-            if not initialized:
-                agg = np.zeros((n_out_total, prob_sum.shape[-1]), np.float32)
-                initialized = True
-            o0 = w0 * wp.shift_out
-            o1 = min(o0 + prob_sum.shape[0], n_out_total)
-            agg[o0:o1] += prob_sum[: o1 - o0]
-            count[o0:o1] += cnt[: o1 - o0]
+            if (k + 1) % _SYNC_CHUNKS == 0:
+                _ = np.asarray(cnt_dev[:1])  # forcing fetch: drain backlog
 
+        agg = np.asarray(agg_dev)[:n_out_total].copy()
+        count = np.asarray(cnt_dev)[:n_out_total]
         valid = count > 0
         agg[valid] /= count[valid, None]
         return agg, count

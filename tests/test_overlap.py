@@ -55,7 +55,11 @@ def test_window_predictor_matches_reference_algorithm():
         return np.asarray(model.apply(variables, jnp.asarray(x), train=False))
 
     rng = np.random.default_rng(0)
-    for t in [SNIPPET, 200, 513, 1024]:
+    # 319: n_win = 8 is an exact multiple of wpc AND the tail extends 31
+    # frames past the last window, so n_out_total (19) exceeds the window
+    # span's last output row (18) — the [:n_out_total] fetch reaches the
+    # grid's final (trash) row, which must read as zero/uncovered
+    for t in [SNIPPET, 200, 319, 513, 1024]:
         spec = rng.uniform(size=(t, NBINS)).astype(np.float32)
         wp = WindowPredictor(
             model, variables, snippet_len=SNIPPET, n_filters=NFILT,
