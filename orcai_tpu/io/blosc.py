@@ -68,6 +68,15 @@ def lz4_decompress_block(
         out = lz4_decompress_native(src, dest_size)
         if out is not None:
             return out
+    try:
+        return _lz4_decompress_py(src, dest_size)
+    except IndexError:
+        # reading past the stream end (truncated extension bytes etc.):
+        # normalize to the same exception type the native decoder raises
+        raise ValueError("corrupt lz4 block: truncated stream") from None
+
+
+def _lz4_decompress_py(src: bytes, dest_size: int) -> bytes:
     dst = bytearray(dest_size)
     s, d, n = 0, 0, len(src)
     while s < n:

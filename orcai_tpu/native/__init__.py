@@ -144,6 +144,12 @@ def mulaw_encode_native(x: np.ndarray, lut: np.ndarray) -> np.ndarray | None:
     return out.reshape(x.shape)
 
 
+# the C kernel's hardcoded layout (wirecodec.c): 128-sample blocks, packed
+# bytes per block keyed by mantissa width
+_BFP_C_BLOCK = 128
+_BFP_C_BLOCK_BYTES = {6: 96, 5: 80}
+
+
 def bfp_encode_into(
     x: np.ndarray,
     mant_bits: int,
@@ -156,16 +162,32 @@ def bfp_encode_into(
     Returns False (without touching the outputs) when the native library is
     unavailable. The outputs must be C-contiguous uint8 views sized for
     ceil(len(x)/block) blocks; x is zero-padded to a whole block count.
+    Raises ValueError for any geometry the C kernel does not implement —
+    it hardcodes 128-sample blocks and 6/5-bit mantissas — or for
+    mis-sized/mis-typed outputs (the C side cannot bounds-check for us).
     """
     lib = _load_wirecodec()
     if lib is None:
         return False
+    if block != _BFP_C_BLOCK or mant_bits not in _BFP_C_BLOCK_BYTES:
+        raise ValueError(
+            f"native bfp encoder supports block={_BFP_C_BLOCK}, mant_bits in "
+            f"{sorted(_BFP_C_BLOCK_BYTES)}; got block={block}, "
+            f"mant_bits={mant_bits}"
+        )
     x = np.ascontiguousarray(x, dtype=np.int16)
     pad = (-x.shape[0]) % block
     if pad:
         x = np.pad(x, (0, pad))
     n_blocks = x.shape[0] // block
-    assert shifts_out.size == n_blocks and packed_out.flags.c_contiguous
+    for name, out, want in (
+        ("packed_out", packed_out, n_blocks * _BFP_C_BLOCK_BYTES[mant_bits]),
+        ("shifts_out", shifts_out, n_blocks),
+    ):
+        if out.dtype != np.uint8 or not out.flags.c_contiguous:
+            raise ValueError(f"{name} must be a C-contiguous uint8 array")
+        if out.size != want:
+            raise ValueError(f"{name} has {out.size} bytes, need {want}")
     lib.orcai_bfp_encode(
         x.ctypes.data, n_blocks, mant_bits, packed_out.ctypes.data,
         shifts_out.ctypes.data,
@@ -179,20 +201,12 @@ def bfp_encode_native(
     """int16 PCM (n,) -> (packed uint8, shifts uint8) via C, or None.
 
     Zero-pads to a whole number of `block`-sample blocks (as the numpy
-    encoder does); bit-exact with wire_codec.bfp_encode.
+    encoder does); bit-exact with wire_codec.bfp_encode. Thin allocation
+    wrapper over bfp_encode_into.
     """
-    lib = _load_wirecodec()
-    if lib is None:
-        return None
-    x = np.ascontiguousarray(x, dtype=np.int16)
-    pad = (-x.shape[0]) % block
-    if pad:
-        x = np.pad(x, (0, pad))
-    n_blocks = x.shape[0] // block
+    n_blocks = -(-np.asarray(x).shape[0] // block)
     packed = np.empty(n_blocks * block_bytes, np.uint8)
     shifts = np.empty(n_blocks, np.uint8)
-    lib.orcai_bfp_encode(
-        x.ctypes.data, n_blocks, mant_bits, packed.ctypes.data,
-        shifts.ctypes.data,
-    )
+    if not bfp_encode_into(x, mant_bits, block, packed, shifts):
+        return None
     return packed, shifts

@@ -281,18 +281,21 @@ class WindowPredictor:
 
         # global output grid covering every chunk's window span (valid
         # windows never write past the last window's rows; padded rows stay
-        # zero). The max() with n_out_total handles recordings whose tail
+        # zero). The shift_out widening handles recordings whose tail
         # extends past the last window while n_win is an exact multiple of
         # wpc: there n_out_total exceeds the window span by up to
         # shift_out-1 rows and fetch_aggregated's [:n_out_total] slice
         # would otherwise include the trash row — which happens to be all
         # zeros in exactly that case (no invalid windows exist to write
         # it), i.e. the correct value for uncovered tail rows, but only by
-        # coincidence; sizing the grid to cover n_out_total makes the
-        # invariant structural instead.
-        n_out_pad = max(
-            (n_chunks * wpc - 1) * self.shift_out + self.out_len, n_out_total
-        )
+        # coincidence; widening makes the invariant structural. Widening by
+        # a fixed shift_out (not to n_out_total) keeps the grid shape — and
+        # therefore the compiled executable — independent of the exact
+        # recording length (a new shape costs a retrace plus a lazy program
+        # load on remote backends).
+        n_out_pad = (n_chunks * wpc - 1) * self.shift_out + self.out_len
+        if n_out_total > n_out_pad:
+            n_out_pad += self.shift_out
         agg, count = self._zero_grid(n_out_pad, self.n_labels(n_bins))
         for c in range(n_chunks):
             w0 = c * wpc

@@ -583,9 +583,11 @@ class StreamingPredictor:
         # bounds the in-flight dispatch backlog (each queued chunk holds a
         # ~(wpc*shift, bins) f32 normalize output until it executes).
         n_chunks = -(-n_win // wpc)
-        n_out_pad = max(
-            (n_chunks * wpc - 1) * wp.shift_out + wp.out_len, n_out_total
-        )
+        # fixed shift_out widening when the tail outruns the window span:
+        # same shape-stability rationale as overlap.aggregate_device
+        n_out_pad = (n_chunks * wpc - 1) * wp.shift_out + wp.out_len
+        if n_out_total > n_out_pad:
+            n_out_pad += wp.shift_out
         agg_dev, cnt_dev = wp._zero_grid(n_out_pad, wp.n_labels(n_bins))
         for k, w0 in enumerate(range(0, n_win, wpc)):
             n_valid = min(wpc, n_win - w0)

@@ -35,6 +35,12 @@ def host_probe_ms() -> float:
 
 
 def main() -> None:
+    if len(sys.argv) == 2:
+        raise SystemExit(
+            "usage: wire_ab_probe [codecA codecB [n_rounds]] — both codecs "
+            "are required for an A/B (a single codec would silently probe "
+            "the defaults)"
+        )
     codecs = (sys.argv[1], sys.argv[2]) if len(sys.argv) >= 3 else ("bfp6", "mulaw8")
     n_rounds = int(sys.argv[3]) if len(sys.argv) >= 4 else 3
 

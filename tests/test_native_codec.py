@@ -150,26 +150,34 @@ def test_lz4_native_rejects_corrupt():
     for native_flag in (True, False):
         with pytest.raises(ValueError, match="offset"):
             lz4_decompress_block(stream, 16, native=native_flag)
-    # truncated literal run
-    with pytest.raises(ValueError):
-        lz4_decompress_block(bytes([15 << 4]), 64, native=True)
+    # truncated literal run: BOTH paths must raise ValueError (the Python
+    # loop's IndexError is normalized so callers see one exception type)
+    for native_flag in (True, False):
+        with pytest.raises(ValueError):
+            lz4_decompress_block(bytes([15 << 4]), 64, native=native_flag)
 
 
 def test_native_speedup_is_real():
     """The point of the C path: meaningfully faster than numpy on big input.
 
-    Kept loose (2x) so a loaded CI core cannot flake it; the observed ratio
-    on the dev host is ~10x.
+    Best-of-2 per path and a loose 2x bar so a transiently loaded single
+    core cannot flake it; the observed ratio on the dev host is ~10x
+    (600x+ under memory-pressure contention, which hits numpy's
+    temporaries far harder than the C loop).
     """
     import time
+
+    def best_of(fn, reps=2):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     rng = np.random.default_rng(9)
     x = rng.integers(-32768, 32768, 8 * 1024 * 1024).astype(np.int16)
     bfp_encode(x, 6, native=True)  # warm (build/load .so)
-    t0 = time.perf_counter()
-    bfp_encode(x, 6, native=True)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    bfp_encode(x, 6, native=False)
-    t_numpy = time.perf_counter() - t0
+    t_native = best_of(lambda: bfp_encode(x, 6, native=True))
+    t_numpy = best_of(lambda: bfp_encode(x, 6, native=False))
     assert t_native < t_numpy / 2, (t_native, t_numpy)
