@@ -234,6 +234,32 @@ def cpu_train_baseline_main() -> None:
 # ----------------------------------------------------------- TPU: predict
 
 
+def timed_passes(
+    run_pass,
+    n_initial: int = 5,
+    plateau_ratio: float = 1.6,
+    cap: int = 11,
+    extend_by: int = 2,
+    cooldown_s: float = 30.0,
+    sleep=time.sleep,
+) -> list[float]:
+    """Back-to-back timed passes with plateau escape (median is over all).
+
+    Runs n_initial passes; while the median sits > plateau_ratio x the run's
+    own best pass (the signature of the clustered ~15 MB/s link plateau —
+    identical workload, different link phase), waits out the cluster and
+    extends with extend_by more passes, up to cap total. Pure so the escape
+    logic is unit-testable without a TPU (tests/test_misc_coverage.py)."""
+    passes = [run_pass() for _ in range(n_initial)]
+    while (
+        float(np.median(passes)) > plateau_ratio * min(passes)
+        and len(passes) < cap
+    ):
+        sleep(cooldown_s)
+        passes.extend(run_pass() for _ in range(extend_by))
+    return passes
+
+
 def _bandwidth_probe_mb_s(reps: int = 3) -> float:
     """Host->device MB/s right now (64 MB int16 payload, best of reps);
     the measurement itself is tools/tunnel_probe.h2d_mb_s so bench floors
@@ -383,16 +409,12 @@ def measure_tpu_predict(model_dir: Path) -> dict:
     # incidence a median of 3 flips between the fast and degraded states
     # (r3_run8 vs r3_run9), a median of 5 is robust to <=2 degraded passes
     # while keeping the honest sustained back-to-back protocol
-    passes = [batch_pass() for _ in range(5)]
-    # plateau escape: because degraded passes CLUSTER, a run can still catch
-    # 3+ of them and report the anomaly as the steady state. When the median
-    # sits far off the best pass of the same run (the plateau signature —
-    # the workload is identical, only the link phase differs), wait out the
-    # cluster and take extra passes, up to a hard cap. Every pass is
+    # plateau escape (timed_passes): because degraded passes CLUSTER, a run
+    # can still catch 3+ of them and report the anomaly as the steady state;
+    # when the median sits far off the best pass of the same run, wait out
+    # the cluster and take extra passes, up to a hard cap. Every pass is
     # reported; the median is over all of them.
-    while float(np.median(passes)) > 1.6 * min(passes) and len(passes) < 11:
-        time.sleep(30)
-        passes.extend(batch_pass() for _ in range(2))
+    passes = timed_passes(batch_pass)
     wall_s = float(np.median(passes))
     # probe again after the passes: the tunnel's rate drifts minute to
     # minute, and a floor computed from one low-phase probe can claim

@@ -255,3 +255,41 @@ def test_shardstack_negative_indices(tmp_path):
     np.testing.assert_array_equal(ds.x[np.array([0, -1])], x[[0, -1]])
     with pytest.raises(IndexError):
         ds.x[10]
+
+
+def test_bench_timed_passes_plateau_escape():
+    """bench.timed_passes guards the round's official artifact: verify the
+    escape triggers on a plateau-dominated start, stops once the median
+    recovers, respects the hard cap, and never extends a healthy or
+    uniformly-slow run (no fast pass = no evidence of a plateau)."""
+    import itertools
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import timed_passes
+
+    # healthy run: 5 tight passes, no extension, no sleep
+    sleeps = []
+    seq = iter([4.0, 3.8, 3.9, 4.1, 3.7])
+    out = timed_passes(lambda: next(seq), sleep=sleeps.append)
+    assert len(out) == 5 and sleeps == []
+
+    # plateau start (3 of 5 degraded -> median degraded), recovery after:
+    # one extension round drops the median of ALL passes under the gate
+    sleeps = []
+    seq = iter([30.0, 30.5, 4.0, 31.0, 4.1] + [3.9, 4.0] * 3)
+    out = timed_passes(lambda: next(seq), sleep=sleeps.append)
+    assert len(out) == 7  # median of 7 = 4.1 < 1.6 * 3.9 -> recovered
+    assert sorted(out)[len(out) // 2] < 5.0
+    assert sleeps == [30.0]
+
+    # persistent plateau after one fast pass: capped at 11 passes total
+    sleeps = []
+    seq = itertools.chain([4.0], itertools.repeat(30.0))
+    out = timed_passes(lambda: next(seq), sleep=sleeps.append)
+    assert len(out) == 11 and len(sleeps) == 3
+
+    # uniformly slow run: nothing to escape to, no extension
+    out = timed_passes(lambda: 30.0, sleep=sleeps.append)
+    assert len(out) == 5
