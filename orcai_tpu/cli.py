@@ -135,6 +135,69 @@ def cli_predict(**kwargs):
 
 
 @cli.command(
+    name="serve",
+    help="Watches WATCH_DIR for new wav recordings and predicts each as it "
+    "arrives, holding one warmed model for the process lifetime (the "
+    "per-process device/compile warmup is paid once, not per file). "
+    "Outputs are identical to `orcai predict` on the same file; failures "
+    "leave a .failed marker and the service keeps running. Stop with ^C. "
+    "No upstream-orcAI equivalent.",
+    short_help="Serve predictions for a watched folder.",
+    no_args_is_help=True,
+)
+@click.argument("watch_dir", type=DirPathR)
+@click.option("--channel", "-c", type=int, default=1, show_default=True,
+              help="Channel to use for prediction.")
+@click.option("--model", "-m", "model",
+              type=(click.Choice(INCLUDED_MODELS, case_sensitive=False)
+                    if INCLUDED_MODELS else str),
+              default="orcai-v1", show_default=True,
+              help="Builtin model to use for prediction. Overridden if "
+              "model_dir is given.")
+@click.option("--model_dir", "-md", "model_dir", type=DirPathR, default=None,
+              show_default="use builtin model", help="Path to a model directory.")
+@click.option("--output_dir", "-o", type=DirPathWcreate, default=None,
+              show_default="next to each wav",
+              help="Directory for the prediction TSVs.")
+@click.option("--overwrite", "-ow", is_flag=True,
+              help="Re-predict files whose output already exists.")
+@click.option("--save_probabilities", "-sp", is_flag=True,
+              help="Save prediction probabilities next to each TSV.")
+@click.option("--call_duration_limits", "-cdl", type=FilePathR, default=None,
+              show_default="None",
+              help="JSON file with call duration limits. None for no filtering.")
+@click.option("--label_suffix", "-ls", default="*", show_default=True,
+              help="Suffix to add to the label names.")
+@click.option("--predict_batch_size", "-bs", type=int, default=128,
+              show_default=True,
+              help="Window batch size for on-device inference.")
+@click.option("--wire_codec", "-wc", "wire",
+              type=click.Choice(["auto", "exact", "mulaw8", "bfp6", "bfp5"]),
+              default="auto", show_default=True,
+              help="Host->device audio byte format (see `orcai predict`).")
+@click.option("--poll_seconds", "-ps", type=float, default=2.0,
+              show_default=True, help="Directory poll interval.")
+@click.option("--warm_minutes", "-wm", type=float, default=0.0,
+              show_default=True,
+              help="Pre-compile/pre-load predict executables for every "
+              "recording-length bucket up to this duration before serving.")
+@click.option("--max_files", "-mf", type=int, default=None,
+              show_default="unbounded",
+              help="Stop after processing this many recordings.")
+@_verbosity_option
+def cli_serve(**kwargs):
+    kwargs["msgr"] = Messenger(verbosity=kwargs["verbosity"],
+                               title="Serving predictions")
+    from orcai_tpu.pipeline.helpers import bundled_model_dir
+    from orcai_tpu.pipeline.serve import serve
+
+    if kwargs["model_dir"] is None:
+        kwargs["model_dir"] = bundled_model_dir(kwargs["model"])
+    del kwargs["model"]
+    serve(**kwargs)
+
+
+@cli.command(
     name="filter-predictions",
     help="Filters predictions in the predictions file at PREDICTED_LABELS.",
     short_help="Filters predictions.",

@@ -1,5 +1,6 @@
-"""CLI surface: all 12 subcommands exist with working --help, and a smoke
-run of init through the CLI runner."""
+"""CLI surface: all 12 reference subcommands exist (plus the serve
+extension) with working --help, and a smoke run of init through the CLI
+runner."""
 
 from click.testing import CliRunner
 
@@ -18,6 +19,8 @@ EXPECTED_COMMANDS = {
     "train",
     "test",
     "hpsearch",
+    # extension beyond the reference surface: watch-folder serving mode
+    "serve",
 }
 
 
