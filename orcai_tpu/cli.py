@@ -114,13 +114,17 @@ def cli():
               show_default=True,
               help="Window batch size for on-device inference.")
 @click.option("--wire_codec", "-wc", "wire",
-              type=click.Choice(["auto", "exact", "mulaw8", "bfp6", "bfp5"]),
+              type=click.Choice(["auto", "exact", "mulaw8", "bfp6", "bfp5",
+                                 "sp-bfp6", "sp-bfp5"]),
               default="auto", show_default=True,
               help="Host->device audio byte format: exact PCM; 8-bit "
-                   "mu-law codes (1 byte/sample, 38 dB SNR); or packed "
+                   "mu-law codes (1 byte/sample, 38 dB SNR); packed "
                    "block-floating-point (bfp6 0.76 bytes/sample ~33 dB, "
-                   "bfp5 0.63 ~27 dB) decoded on device — all hold "
-                   "annotation-level parity. auto = bfp6 on TPU.")
+                   "bfp5 0.63 ~27 dB) decoded on device; or the spectral "
+                   "wires (sp-bfp6 0.57, sp-bfp5 0.47) — a host 3/4 "
+                   "resample that drops only the band the frontend crops, "
+                   "then the base codec. All hold annotation-level parity. "
+                   "auto = bfp6 on TPU.")
 @_verbosity_option
 def cli_predict(**kwargs):
     kwargs["msgr"] = Messenger(verbosity=kwargs["verbosity"],
@@ -172,7 +176,8 @@ def cli_predict(**kwargs):
               show_default=True,
               help="Window batch size for on-device inference.")
 @click.option("--wire_codec", "-wc", "wire",
-              type=click.Choice(["auto", "exact", "mulaw8", "bfp6", "bfp5"]),
+              type=click.Choice(["auto", "exact", "mulaw8", "bfp6", "bfp5",
+                                 "sp-bfp6", "sp-bfp5"]),
               default="auto", show_default=True,
               help="Host->device audio byte format (see `orcai predict`).")
 @click.option("--poll_seconds", "-ps", type=float, default=2.0,

@@ -43,25 +43,33 @@ def _compilers() -> list[str]:
 
 
 def _build(srcs: list[Path], out: Path) -> bool:
-    """Compile srcs -> out (atomic rename); True on success."""
+    """Compile srcs -> out (atomic rename); True on success.
+
+    -march=native is tried first so the integer hot loops (bfp encode, the
+    3/4 resampler) vectorize at the host's full SIMD width — every kernel
+    here is pure integer arithmetic, so the flag changes speed, never
+    results. Hosts whose compiler rejects the flag fall back to plain -O3.
+    """
     out.parent.mkdir(parents=True, exist_ok=True)
     for cc in _compilers():
-        fd, tmp = tempfile.mkstemp(dir=out.parent, suffix=".so")
-        os.close(fd)
-        try:
-            proc = subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", tmp]
-                + [str(s) for s in srcs],
-                capture_output=True, timeout=120,
-            )
-            if proc.returncode == 0:
-                os.replace(tmp, out)  # atomic: concurrent builders race safely
-                return True
-        except (OSError, subprocess.TimeoutExpired):
-            pass
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        for arch in (["-march=native"], []):
+            fd, tmp = tempfile.mkstemp(dir=out.parent, suffix=".so")
+            os.close(fd)
+            try:
+                proc = subprocess.run(
+                    [cc, "-O3", *arch, "-shared", "-fPIC", "-o", tmp]
+                    + [str(s) for s in srcs],
+                    capture_output=True, timeout=120,
+                )
+                if proc.returncode == 0:
+                    # atomic: concurrent builders race safely
+                    os.replace(tmp, out)
+                    return True
+            except (OSError, subprocess.TimeoutExpired):
+                pass
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
     return False
 
 
@@ -99,6 +107,11 @@ def _load_wirecodec() -> ctypes.CDLL | None:
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
         ]
         lib.orcai_lz4_decompress.restype = ctypes.c_int64
+        lib.orcai_resample34.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.orcai_resample34.restype = ctypes.c_int64
         return lib
     except Exception:  # noqa: BLE001 — any failure means "use numpy"
         return None
@@ -210,3 +223,34 @@ def bfp_encode_native(
     if not bfp_encode_into(x, mant_bits, block, packed, shifts):
         return None
     return packed, shifts
+
+
+def resample34_native(
+    x: np.ndarray, taps: np.ndarray, n_out: int
+) -> np.ndarray | None:
+    """3/4 polyphase resample via C (resample.c), or None if unavailable.
+
+    `x` int16 PCM, `taps` the int16 Q15 prototype from
+    ops.spectral.design_taps34 (odd length, group delay divisible by 3).
+    Bit-exact with the numpy fallback in ops/spectral.py. Raises ValueError
+    when the C kernel rejects the geometry — the designer should never
+    produce one it rejects, so a rejection is a bug, not a fallback case.
+    """
+    lib = _load_wirecodec()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.int16)
+    taps = np.ascontiguousarray(taps, dtype=np.int16)
+    out = np.empty(int(n_out), np.int16)
+    rc = lib.orcai_resample34(
+        x.ctypes.data, x.size, taps.ctypes.data, taps.size,
+        out.ctypes.data, out.size,
+    )
+    if rc == -2:
+        return None  # transient allocation failure: numpy path still works
+    if rc != 0:
+        raise ValueError(
+            f"native resampler rejected geometry (rc={rc}): n_taps="
+            f"{taps.size}, n_in={x.size}, n_out={n_out}"
+        )
+    return out

@@ -51,6 +51,7 @@ from orcai_tpu.ops.wire_codec import (
     mulaw_decode_f32,
     mulaw_encode,
     resolve_wire,
+    spectral_wire_base,
     wire_bfp_bits,
 )
 from orcai_tpu.utils.jaxcache import enable_persistent_cache
@@ -369,6 +370,22 @@ def compute_spectrogram_device(
     if audio.ndim != 1:
         raise ValueError("compute_spectrogram expects mono audio (n,)")
     wire = resolve_wire(wire)
+    spectral_base = spectral_wire_base(wire)
+    if spectral_base is not None:
+        # spectral wire (ops/spectral.py): resample 3/4 on host and run the
+        # identical frontend at the scaled geometry — same bin spacing, same
+        # frame times, same frame count, same crop indices; the constant
+        # amplitude scale cancels through the normalize chain. 25% fewer
+        # samples then cross the link through the base codec. Geometries
+        # that cannot hold the grid run the base codec at the native rate.
+        from orcai_tpu.ops.spectral import spectral_downsample
+
+        ds = spectral_downsample(
+            audio, sampling_rate, n_fft, hop_length, freq_range
+        )
+        wire = spectral_base
+        if ds is not None:
+            audio, sampling_rate, n_fft, hop_length = ds
     bfp_bits = wire_bfp_bits(wire)
     if wire == "mulaw8":
         # one LUT pass on host (~600 MB/s); downstream the uint8 dtype IS

@@ -1,0 +1,210 @@
+"""Spectral wire: host-side 3/4 resample that preserves the spectrogram grid.
+
+On remote-dispatch TPU backends the predict pipeline is transfer-bound
+(PERFORMANCE.md): the flagship ceiling is audio bytes on the wire. The
+reference's spectrogram chain (reference spectrogram.py:15-87) retains only
+frequencies up to freq_range[1] (default 16 kHz) out of a 24 kHz Nyquist —
+a third of the band crosses the link only to be cropped on device.
+Resampling 48 kHz -> 36 kHz (ratio 3/4) on the host and running the device
+frontend at nfft 384 / hop 192 removes that dead band from the wire while
+landing on the IDENTICAL spectrogram grid:
+
+- bin spacing: 36000/384 = 48000/512 = 93.75 Hz, so the freq_crop indices
+  (and the model's input bins) are unchanged;
+- frame hop: 192/36000 = 256/48000 = 16/3 ms, so frame times are unchanged;
+- window: the periodic Hann of 384 samples at 36 kHz spans the same
+  10.67 ms of continuous time as 512 samples at 48 kHz;
+- frame count: n_out = 3*n//4 gives 1 + n_out//(3*hop//4) == 1 + n//hop
+  for every n (proof: n = hop*k + r, 0 <= r < hop => 3n//4 = (3*hop//4)*k
+  + 3r//4 and 3r//4 < 3*hop//4), so the overlap-add output grid is
+  bit-identical in shape and timing;
+- amplitude: sampling the same continuous-time window integrand at 3/4 the
+  rate scales every DFT bin by ~3/4 — a constant dB shift, which cancels
+  exactly through the normalize chain (the dB reference, the percentile
+  clip bounds, and the min-max normalize all move by the same constant).
+
+The real perturbations are the resampler's in-band ripple and the aliasing
+fold near the new Nyquist — both held >= ~55 dB down by the tap design
+below, far inside the annotation-parity band the shipped bfp6 codec itself
+occupies (PERFORMANCE.md wire-lab table). Stacked with bfp6 the wire costs
+0.75 * 0.758 = 0.568 bytes per native-rate sample.
+
+Aliasing bound: at the 36 kHz output rate content folds around 18 kHz, so
+input energy at f in (18, 20) kHz lands in (16, 18) kHz — cropped away
+before the model and irrelevant to the (constant-shift-cancelling) dB
+reference — and only f > 0.75*sr - pass_hz can alias into the retained
+band. The FIR transition band therefore spans [pass_hz, 0.75*sr - pass_hz]
+(~4 kHz at the defaults), which keeps the filter short.
+
+The hot loop runs in C (native/resample.c, deinterleaved substreams so the
+tap walk vectorizes; ~GB/s on one AVX core) with a bit-exact vectorized
+numpy fallback here: both accumulate int32 Q15 products in ascending tap
+order, so they are the same integers by construction.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from orcai_tpu.ops.wire_codec import spectral_wire_base
+
+_PAD = 512  # must match RS_PAD in native/resample.c
+_STOP_DB = 70.0  # stopband attenuation target for the tap design
+
+
+@lru_cache(maxsize=None)
+def design_taps34(sr: int, pass_hz: float) -> np.ndarray:
+    """Int16 Q15 prototype low-pass for the 3/4 resampler, Kaiser-windowed.
+
+    Designed at the 3x-upsampled rate: passband edge `pass_hz` (the highest
+    retained spectrogram bin), stopband edge 0.75*sr - pass_hz (the lowest
+    frequency that aliases back into the retained band), cutoff at the
+    output Nyquist 0.375*sr. Length is odd with group delay divisible by 3
+    (zero net delay through the polyphase), and the per-phase L1 norm is
+    asserted against int32 accumulator overflow in the C/numpy kernels.
+    """
+    stop_hz = 0.75 * sr - pass_hz
+    if stop_hz <= pass_hz:
+        raise ValueError(
+            f"no transition band: pass {pass_hz} Hz vs stop {stop_hz} Hz"
+        )
+    up_rate = 3 * sr
+    delta_w = 2.0 * np.pi * (stop_hz - pass_hz) / up_rate
+    n_min = int(np.ceil((_STOP_DB - 7.95) / (2.285 * delta_w))) + 1
+    n_taps = n_min + (1 - n_min) % 6  # next length == 1 (mod 6)
+    atten = 2.285 * delta_w * (n_taps - 1) + 7.95  # achievable, >= target
+    beta = 0.1102 * (atten - 8.7)
+    n = np.arange(n_taps) - (n_taps - 1) / 2.0
+    # cutoff = output Nyquist = up_rate / 8; gain 3 compensates zero-stuffing
+    h = 0.75 * np.sinc(0.25 * n) * np.kaiser(n_taps, beta)
+    # Q15 quantization, rescaled (typically ~-0.12 dB) until every phase's
+    # L1 norm fits the int32 accumulator even for adversarial full-scale
+    # input: |acc| <= L1 * 32768 < 2^31. A constant gain on all samples is
+    # a constant dB shift and cancels exactly through the normalize chain.
+    scale = 32768.0
+    for _ in range(8):
+        taps = np.clip(np.rint(h * scale), -32768, 32767).astype(np.int16)
+        max_l1 = max(
+            int(np.abs(taps[p::3].astype(np.int64)).sum()) for p in range(3)
+        )
+        if max_l1 < 65536:
+            break
+        scale *= 65535.0 / max_l1
+    else:  # pragma: no cover - design-time guard
+        raise AssertionError(f"taps L1 {max_l1} will not fit int32 accum")
+    if (n_taps + 2) // 3 + 8 > _PAD:
+        raise ValueError(
+            f"transition band {stop_hz - pass_hz:.0f} Hz needs {n_taps} "
+            f"taps, beyond the kernel padding budget"
+        )
+    taps.setflags(write=False)
+    return taps
+
+
+def _resample34_numpy(
+    x: np.ndarray, taps: np.ndarray, n_out: int
+) -> np.ndarray:
+    """Vectorized mirror of native/resample.c — bit-exact by construction.
+
+    Same zero padding, same phase decomposition, same ascending-tap int32
+    accumulation, same (acc + 16384) >> 15 round and clamp.
+    """
+    n_taps = len(taps)
+    c3 = ((n_taps - 1) // 2) // 3
+    npad = len(x) + 2 * _PAD
+    npad += (-npad) % 4
+    xz = np.zeros(npad, np.int32)
+    xz[_PAD : _PAD + len(x)] = x
+    sub = xz.reshape(-1, 4)  # sub[k, r] = xz[4k + r]
+    out = np.empty(n_out, np.int16)
+    for p in range(3):
+        kp = (n_taps - 1 - p) // 3 + 1
+        nq = (n_out - p + 2) // 3
+        if nq <= 0:
+            continue
+        acc = np.zeros(nq, np.int32)
+        for j in range(kp):
+            h = np.int32(taps[3 * (kp - 1 - j) + p])
+            a = p + c3 - kp + 1 + j + _PAD
+            d = a >> 2
+            acc += h * sub[d : d + nq, a & 3]
+        v = (acc + 16384) >> 15
+        out[p::3] = np.clip(v, -32768, 32767).astype(np.int16)
+    return out
+
+
+def resample34(x: np.ndarray, sr: int, pass_hz: float) -> np.ndarray:
+    """Resample int16 PCM by exactly 3/4 (len 3*n//4), zero net delay.
+
+    Float input in [-1, 1] is rounded to int16 first (the same rounding
+    every coded wire applies). Dispatches to the C kernel when available;
+    the numpy path is bit-exact with it.
+    """
+    x = np.asarray(x)
+    if x.dtype != np.int16:
+        x = np.clip(
+            np.rint(x.astype(np.float64) * 32768.0), -32768, 32767
+        ).astype(np.int16)
+    n_out = 3 * x.shape[0] // 4
+    taps = design_taps34(int(sr), float(pass_hz))
+    from orcai_tpu.native import resample34_native
+
+    out = resample34_native(x, taps, n_out)
+    if out is not None:
+        return out
+    return _resample34_numpy(x, taps, n_out)
+
+
+def spectral_geometry(
+    sr: int, n_fft: int, hop: int, freq_range
+) -> tuple[int, int, int, float] | None:
+    """(sr*3/4, n_fft*3/4, hop*3/4, pass_hz), or None if the 3/4 transform
+    cannot hold the spectrogram grid exactly for these parameters.
+
+    Requirements: sr/n_fft/hop divisible by 4 (integer scaled geometry on
+    the same 93.75 Hz-class bin grid), the retained band must survive under
+    the new Nyquist, and the alias transition band must be wide enough for
+    a filter inside the kernel's tap budget (>= 1% of sr keeps it ~O(400)
+    taps; narrower bands mean freq_range nearly fills the output Nyquist
+    and the 3/4 trick buys nothing anyway).
+    """
+    from orcai_tpu.ops.frontend import fft_frequencies, freq_crop_indices
+
+    if sr % 4 or n_fft % 4 or hop % 4 or n_fft % hop:
+        return None
+    freqs = fft_frequencies(sr, n_fft)
+    try:
+        _, hi_idx = freq_crop_indices(freqs, freq_range)
+    except ValueError:
+        return None
+    pass_hz = float(freqs[hi_idx - 1])
+    if 0.75 * sr - 2.0 * pass_hz < 0.01 * sr:
+        return None
+    return 3 * sr // 4, 3 * n_fft // 4, 3 * hop // 4, pass_hz
+
+
+def spectral_downsample(
+    audio: np.ndarray, sr: int, n_fft: int, hop: int, freq_range
+) -> tuple[np.ndarray, int, int, int] | None:
+    """Apply the spectral transform: (audio34, sr', n_fft', hop') or None.
+
+    None means the geometry cannot hold the grid — callers run the base
+    codec at the native rate instead (the documented fallback of the
+    sp-* wires).
+    """
+    geo = spectral_geometry(sr, n_fft, hop, freq_range)
+    if geo is None:
+        return None
+    sr34, n_fft34, hop34, pass_hz = geo
+    return resample34(audio, sr, pass_hz), sr34, n_fft34, hop34
+
+
+__all__ = [
+    "design_taps34",
+    "resample34",
+    "spectral_geometry",
+    "spectral_downsample",
+    "spectral_wire_base",
+]

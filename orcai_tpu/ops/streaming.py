@@ -57,6 +57,7 @@ from orcai_tpu.ops.wire_codec import (
     bfp_streaming_aligned,
     mulaw_encode,
     resolve_wire,
+    spectral_wire_base,
     wire_bfp_bits,
     wire_bytes_per_sample,
 )
@@ -404,6 +405,12 @@ class StreamingPredictor:
     ):
         self.wp = predictor
         self.wire = resolve_wire(wire)
+        spectral_base = spectral_wire_base(self.wire)
+        if spectral_base is not None:
+            # the spectral transform (ops/spectral.py) regrids the whole
+            # two-pass geometry; the streaming path keeps the native-rate
+            # grid and ships the base codec instead
+            self.wire = spectral_base
         sp = spectrogram_parameter
         self.sr = sp["sampling_rate"]
         self.n_fft = sp["nfft"]

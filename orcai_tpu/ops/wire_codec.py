@@ -310,12 +310,25 @@ def bfp_decode_wire_i16(buf, mant_bits: int = 6):
     return bfp_decode_i16(packed, shifts, mant_bits)
 
 
-WIRE_CODECS = ("exact", "mulaw8", "bfp6", "bfp5")
+WIRE_CODECS = ("exact", "mulaw8", "bfp6", "bfp5", "sp-bfp6", "sp-bfp5")
 
 
 def wire_bfp_bits(wire: str) -> int:
     """Mantissa bits of a resolved bfp wire codec, 0 for non-bfp wires."""
     return {"bfp6": 6, "bfp5": 5}.get(wire, 0)
+
+
+def spectral_wire_base(wire: str) -> str | None:
+    """Base byte codec of a spectral ("sp-") wire, None for plain wires.
+
+    The sp-* wires (ops/spectral.py) resample the audio by 3/4 on host —
+    dropping the band the frontend crops anyway — and then ship the 36 kHz
+    class samples through the named base codec, stacking to 0.75x its
+    bytes per native-rate sample. Consumers that cannot regrid (the
+    streaming predictor; geometries where the 3/4 transform can't hold the
+    spectrogram grid) fall back to the base codec at the native rate.
+    """
+    return {"sp-bfp6": "bfp6", "sp-bfp5": "bfp5"}.get(wire)
 
 
 def bfp_streaming_aligned(n_fft: int, hop: int) -> bool:
@@ -332,12 +345,16 @@ def bfp_streaming_aligned(n_fft: int, hop: int) -> bool:
 
 
 def wire_bytes_per_sample(wire: str) -> float:
-    """Host->device bytes per PCM sample for a resolved wire codec."""
+    """Host->device bytes per NATIVE-RATE PCM sample for a resolved wire
+    codec (the sp-* wires carry 3/4 as many samples, so their cost per
+    original sample is 0.75x the base codec's)."""
     return {
         "exact": 2.0,
         "mulaw8": 1.0,
         "bfp6": bfp_bytes_per_sample(6),
         "bfp5": bfp_bytes_per_sample(5),
+        "sp-bfp6": 0.75 * bfp_bytes_per_sample(6),
+        "sp-bfp5": 0.75 * bfp_bytes_per_sample(5),
     }[wire]
 
 

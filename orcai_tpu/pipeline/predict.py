@@ -486,10 +486,13 @@ def predict(
     `wire` selects the host->device audio byte format (ops/wire_codec.py):
     "exact" ships PCM verbatim; "mulaw8" ships 8-bit companded codes (half
     the bytes); "bfp6"/"bfp5" ship packed block-floating-point mantissas
-    (0.76 / 0.63 bytes per sample) — all coded wires hold annotation-level
-    parity (tests/test_wire_codec.py, PERFORMANCE.md wire lab);
-    None/"auto" -> ORCAI_TPU_WIRE env var, else bfp6 on TPU and exact
-    elsewhere.
+    (0.76 / 0.63 bytes per sample); "sp-bfp6"/"sp-bfp5" first resample 3/4
+    on host — dropping only the band the frontend crops — and ship the
+    base codec (0.57 / 0.47 bytes per native-rate sample, ops/spectral.py)
+    — all coded wires hold annotation-level parity
+    (tests/test_wire_codec.py, tests/test_spectral.py, PERFORMANCE.md wire
+    lab); None/"auto" -> ORCAI_TPU_WIRE env var, else bfp6 on TPU and
+    exact elsewhere.
     """
     if msgr is None:
         msgr = Messenger(verbosity=verbosity, title="Predicting calls")
