@@ -427,7 +427,7 @@ def measure_tpu_predict(model_dir: Path) -> dict:
     assert len(outputs) == N_RECORDINGS, f"expected {N_RECORDINGS} TSVs"
 
     # The timed passes ran with wire=auto; resolve what that actually was
-    # (bfp6 on TPU): it sets the bytes each sample costs on the link.
+    # (sp-bfp6 on TPU): it sets the bytes each sample costs on the link.
     from orcai_tpu.native import native_available
     from orcai_tpu.ops.wire_codec import resolve_wire, wire_bytes_per_sample
 
@@ -440,16 +440,45 @@ def measure_tpu_predict(model_dir: Path) -> dict:
     encoder = "native-c" if native_available() else "numpy"
     encode_mb_s = None
     if wire_codec != "exact":
-        from orcai_tpu.ops.wire_codec import bfp_encode, mulaw_encode
+        from orcai_tpu.ops.wire_codec import (
+            bfp_encode,
+            mulaw_encode,
+            spectral_wire_base,
+            wire_bfp_bits,
+        )
 
         probe = np.random.default_rng(5).integers(
             -32768, 32768, 16 * 1024 * 1024
         ).astype(np.int16)
-        enc = (
-            (lambda: mulaw_encode(probe))
-            if wire_codec == "mulaw8"
-            else (lambda: bfp_encode(probe, 6 if wire_codec == "bfp6" else 5))
-        )
+        base = spectral_wire_base(wire_codec) or wire_codec
+        sp_geo = None
+        if base != wire_codec:
+            # sp-* wires: the host encode is resample34 THEN the base codec
+            # — the probe must price both stages (the resample is the new
+            # critical-path host loop)
+            from orcai_tpu.ops.spectral import resample34, spectral_geometry
+
+            sp_par = orcai_parameter["spectrogram"]
+            sp_geo = spectral_geometry(
+                sp_par["sampling_rate"], sp_par["nfft"],
+                sp_par["n_overlap"], sp_par["freq_range"],
+            )
+        if sp_geo is not None:
+            sp_sr, sp_pass_hz = orcai_parameter["spectrogram"][
+                "sampling_rate"
+            ], sp_geo[3]
+
+            def enc():
+                return bfp_encode(
+                    resample34(probe, sp_sr, sp_pass_hz),
+                    wire_bfp_bits(base),
+                )
+        elif base == "mulaw8":
+            def enc():
+                return mulaw_encode(probe)
+        else:
+            def enc():
+                return bfp_encode(probe, wire_bfp_bits(base))
         enc()  # warm (first call may build/load the .so)
         t0 = time.perf_counter()
         enc()

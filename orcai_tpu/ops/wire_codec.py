@@ -361,12 +361,16 @@ def wire_bytes_per_sample(wire: str) -> float:
 def resolve_wire(wire: str | None, backend: str | None = None) -> str:
     """Resolve a wire-codec request to a member of WIRE_CODECS.
 
-    None/'auto' -> the ORCAI_TPU_WIRE env var if set, else bfp6 on TPU
-    backends (where uploads cross a slow link and the packed buffer also
-    shrinks resident HBM) and exact elsewhere. CPU/GPU test paths therefore
-    stay bit-identical to the reference numerics unless a caller opts in.
-    bfp5 (0.633 bytes/sample, 27 dB SNR) is opt-in: same parity band in the
-    wire lab, less headroom on unknown field recordings.
+    None/'auto' -> the ORCAI_TPU_WIRE env var if set, else sp-bfp6 on TPU
+    backends (where uploads cross a slow link; the 3/4 spectral resample +
+    bfp6 carries 0.568 bytes per native-rate sample and measured ~10-13%
+    faster than plain bfp6 in interleaved A/B batch passes — PERFORMANCE.md)
+    and exact elsewhere. CPU/GPU test paths therefore stay bit-identical to
+    the reference numerics unless a caller opts in. Geometries the spectral
+    transform cannot regrid fall back to plain bfp6 automatically
+    (ops/frontend.py), as does the streaming predictor. bfp5/sp-bfp5 are
+    opt-in: same parity band in the wire lab, less SNR headroom on unknown
+    field recordings.
     """
     import os
 
@@ -376,7 +380,7 @@ def resolve_wire(wire: str | None, backend: str | None = None) -> str:
         import jax
 
         backend = backend or jax.default_backend()
-        wire = "bfp6" if backend == "tpu" else "exact"
+        wire = "sp-bfp6" if backend == "tpu" else "exact"
     if wire not in WIRE_CODECS:
         raise ValueError(
             f"unknown wire codec {wire!r} ({'|'.join(WIRE_CODECS)}|auto)"

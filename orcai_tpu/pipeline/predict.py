@@ -491,7 +491,7 @@ def predict(
     base codec (0.57 / 0.47 bytes per native-rate sample, ops/spectral.py)
     — all coded wires hold annotation-level parity
     (tests/test_wire_codec.py, tests/test_spectral.py, PERFORMANCE.md wire
-    lab); None/"auto" -> ORCAI_TPU_WIRE env var, else bfp6 on TPU and
+    lab); None/"auto" -> ORCAI_TPU_WIRE env var, else sp-bfp6 on TPU and
     exact elsewhere.
     """
     if msgr is None:
