@@ -82,6 +82,49 @@ def test_native_matches_numpy_bit_exact():
         np.testing.assert_array_equal(got, _resample34_numpy(x, taps, n_out))
 
 
+def test_portable_c_path_matches_numpy(tmp_path, monkeypatch):
+    """The non-SIMD C branch (substream formulation) is bit-exact too.
+
+    Forces a build without AVX-512/AVX2 through a CC wrapper script into a
+    throwaway native cache, so the #else branch of resample.c actually
+    runs; the shipped build on this host takes the vpmaddwd branch.
+    """
+    import os
+    import shutil
+    import stat
+
+    from orcai_tpu import native
+
+    if not native.native_available():
+        pytest.skip("no C toolchain in this environment")
+    real_cc = shutil.which("cc") or shutil.which("gcc")
+    wrapper = tmp_path / "cc_noavx"
+    # the -mno-* flags must come AFTER "$@" (the build passes
+    # -march=native first; later flags win in gcc)
+    wrapper.write_text(
+        f'#!/bin/sh\nexec {real_cc} "$@" -mno-avx512bw -mno-avx512f '
+        "-mno-avx2\n"
+    )
+    wrapper.chmod(wrapper.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("CC", str(wrapper))
+    monkeypatch.setenv("ORCAI_TPU_NATIVE_CACHE_DIR", str(tmp_path / "cache"))
+    native._load_wirecodec.cache_clear()
+    try:
+        assert native.native_available(), "portable build failed"
+        rng = np.random.default_rng(3)
+        taps = design_taps34(SR, PASS_HZ)
+        for n in (5, 1024, 48000 + 371):
+            x = rng.integers(-32768, 32768, n).astype(np.int16)
+            n_out = 3 * n // 4
+            got = native.resample34_native(x, taps, n_out)
+            assert got is not None
+            np.testing.assert_array_equal(
+                got, _resample34_numpy(x, taps, n_out)
+            )
+    finally:
+        native._load_wirecodec.cache_clear()
+
+
 def test_tone_snr_and_delay():
     """A passband tone survives with >55 dB SNR and zero net delay."""
     n = SR  # 1 s
