@@ -427,7 +427,7 @@ def measure_tpu_predict(model_dir: Path) -> dict:
     assert len(outputs) == N_RECORDINGS, f"expected {N_RECORDINGS} TSVs"
 
     # The timed passes ran with wire=auto; resolve what that actually was
-    # (sp-bfp6 on TPU): it sets the bytes each sample costs on the link.
+    # (sp-bfp5 on TPU): it sets the bytes each sample costs on the link.
     from orcai_tpu.native import native_available
     from orcai_tpu.ops.wire_codec import resolve_wire, wire_bytes_per_sample
 

@@ -124,7 +124,7 @@ def cli():
                    "wires (sp-bfp6 0.57, sp-bfp5 0.47) — a host 3/4 "
                    "resample that drops only the band the frontend crops, "
                    "then the base codec. All hold annotation-level parity. "
-                   "auto = sp-bfp6 on TPU.")
+                   "auto = sp-bfp5 on TPU.")
 @_verbosity_option
 def cli_predict(**kwargs):
     kwargs["msgr"] = Messenger(verbosity=kwargs["verbosity"],

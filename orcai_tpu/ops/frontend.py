@@ -361,7 +361,7 @@ def compute_spectrogram_device(
     (half the bytes on transfer-bound links, ~38 dB quantization SNR);
     "bfp6"/"bfp5" block-floating-point packed mantissas (0.76 / 0.63 bytes
     per sample, ~33 / 27 dB), encoded per upload chunk and decoded to int16
-    on device; None/"auto" resolves via ORCAI_TPU_WIRE, defaulting to sp-bfp6
+    on device; None/"auto" resolves via ORCAI_TPU_WIRE, defaulting to sp-bfp5
     on TPU.
     """
     audio = np.asarray(audio)

@@ -361,16 +361,21 @@ def wire_bytes_per_sample(wire: str) -> float:
 def resolve_wire(wire: str | None, backend: str | None = None) -> str:
     """Resolve a wire-codec request to a member of WIRE_CODECS.
 
-    None/'auto' -> the ORCAI_TPU_WIRE env var if set, else sp-bfp6 on TPU
+    None/'auto' -> the ORCAI_TPU_WIRE env var if set, else sp-bfp5 on TPU
     backends (where uploads cross a slow link; the 3/4 spectral resample +
-    bfp6 carries 0.568 bytes per native-rate sample and measured ~10-13%
-    faster than plain bfp6 in interleaved A/B batch passes — PERFORMANCE.md)
-    and exact elsewhere. CPU/GPU test paths therefore stay bit-identical to
-    the reference numerics unless a caller opts in. Geometries the spectral
-    transform cannot regrid fall back to plain bfp6 automatically
-    (ops/frontend.py), as does the streaming predictor. bfp5/sp-bfp5 are
-    opt-in: same parity band in the wire lab, less SNR headroom on unknown
-    field recordings.
+    bfp5 carries 0.475 bytes per native-rate sample and measured ~20%
+    faster batch medians than sp-bfp6 in interleaved A/B passes on a slow
+    link phase, winning 4/5 paired rounds — PERFORMANCE.md "Spectral
+    wire") and exact elsewhere. CPU/GPU test paths therefore stay
+    bit-identical to the reference numerics unless a caller opts in.
+    Geometries the spectral transform cannot regrid fall back to the plain
+    base codec automatically (ops/frontend.py), as does the streaming
+    predictor. Full-path annotation parity of sp-bfp5 vs the exact wire on
+    two 20-min recordings sits in the same band as bfp6's official-run
+    parity (64-67/76 identical + 3-6 boundary-shifted, residuals all
+    sub-second near-threshold flickers <= 0.69 s); sp-bfp6 (0.568 B/sample,
+    33 dB vs 27 dB block SNR) remains one flag away for callers who want
+    more quantization headroom on unknown field recordings.
     """
     import os
 
@@ -380,7 +385,7 @@ def resolve_wire(wire: str | None, backend: str | None = None) -> str:
         import jax
 
         backend = backend or jax.default_backend()
-        wire = "sp-bfp6" if backend == "tpu" else "exact"
+        wire = "sp-bfp5" if backend == "tpu" else "exact"
     if wire not in WIRE_CODECS:
         raise ValueError(
             f"unknown wire codec {wire!r} ({'|'.join(WIRE_CODECS)}|auto)"

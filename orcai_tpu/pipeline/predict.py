@@ -491,8 +491,8 @@ def predict(
     base codec (0.57 / 0.47 bytes per native-rate sample, ops/spectral.py)
     — all coded wires hold annotation-level parity
     (tests/test_wire_codec.py, tests/test_spectral.py, PERFORMANCE.md wire
-    lab); None/"auto" -> ORCAI_TPU_WIRE env var, else sp-bfp6 on TPU and
-    exact elsewhere.
+    lab); None/"auto" -> ORCAI_TPU_WIRE env var, else sp-bfp5 on TPU and
+    exact elsewhere (sp-bfp6 remains opt-in for more SNR headroom).
     """
     if msgr is None:
         msgr = Messenger(verbosity=verbosity, title="Predicting calls")

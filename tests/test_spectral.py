@@ -294,10 +294,18 @@ def test_streaming_predictor_strips_spectral_wire():
     assert s.wire == "bfp6"
 
 
-def test_golden_predict_sp_bfp6_annotation_parity(tmp_path):
-    """e2e: sp-bfp6 predictions on the golden wav hold the bfp6 parity
-    band — same labels, boundaries within two aggregation rows — after
-    dropping degenerate zero-length detections."""
+@pytest.mark.parametrize("wire", ["sp-bfp6", "sp-bfp5"])
+def test_golden_predict_sp_wire_annotation_parity(tmp_path, wire):
+    """e2e: spectral-wire predictions on the golden wav hold the base-codec
+    parity band after dropping degenerate zero-length detections.
+
+    sp-bfp6 (the higher-SNR opt-in) reproduces the golden annotation list
+    exactly, boundaries within two aggregation rows. sp-bfp5 (the TPU auto
+    default) must detect EVERY golden call at the same boundaries; its
+    larger quantization step is allowed the same class of perturbation the
+    shipped codecs show on 20-min bench content — a bounded number of
+    extra sub-second near-threshold flickers (measured here: one 85 ms
+    WHISTLE inside an SS span)."""
     from pathlib import Path
 
     import pandas as pd
@@ -307,7 +315,7 @@ def test_golden_predict_sp_bfp6_annotation_parity(tmp_path):
     from orcai_tpu.utils import Messenger
 
     fixtures = Path(__file__).parent / "fixtures"
-    out = tmp_path / "pred_sp_bfp6.txt"
+    out = tmp_path / f"pred_{wire}.txt"
     predict(
         fixtures / "golden.wav",
         model_dir=MODELS_DATA_DIR / "orcai-v1",
@@ -316,7 +324,7 @@ def test_golden_predict_sp_bfp6_annotation_parity(tmp_path):
         msgr=Messenger(verbosity=0),
         verbosity=0,
         predict_batch_size=16,
-        wire="sp-bfp6",
+        wire=wire,
     )
     got = pd.read_csv(out, sep="\t")
     expected = pd.read_csv(fixtures / "golden_expected.txt", sep="\t")
@@ -324,7 +332,29 @@ def test_golden_predict_sp_bfp6_annotation_parity(tmp_path):
     expected = expected[expected["stop"] > expected["start"]].reset_index(
         drop=True
     )
-    assert list(got["label"]) == list(expected["label"])
     tol = 2 * 16 * 256 / 48000  # two aggregation rows
-    for col in ("start", "stop"):
-        np.testing.assert_allclose(got[col], expected[col], atol=tol)
+    if wire == "sp-bfp6":
+        assert list(got["label"]) == list(expected["label"])
+        for col in ("start", "stop"):
+            np.testing.assert_allclose(got[col], expected[col], atol=tol)
+        return
+    # sp-bfp5: every golden call matched (label + boundaries within tol),
+    # greedily pairing each expected row with an unused predicted row
+    used = set()
+    for _, e in expected.iterrows():
+        hit = None
+        for j, g in got.iterrows():
+            if j in used or g["label"] != e["label"]:
+                continue
+            if abs(g["start"] - e["start"]) <= tol and (
+                abs(g["stop"] - e["stop"]) <= tol
+            ):
+                hit = j
+                break
+        assert hit is not None, f"golden call lost under {wire}: {dict(e)}"
+        used.add(hit)
+    residual = got[~got.index.isin(used)]
+    assert len(residual) <= 2, residual.to_string()
+    assert ((residual["stop"] - residual["start"]) < 0.5).all(), (
+        residual.to_string()
+    )

@@ -115,7 +115,7 @@ def test_resolve_wire():
     assert resolve_wire("bfp6") == "bfp6"
     assert resolve_wire("bfp5") == "bfp5"
     assert resolve_wire(None, backend="cpu") == "exact"
-    assert resolve_wire("auto", backend="tpu") == "sp-bfp6"
+    assert resolve_wire("auto", backend="tpu") == "sp-bfp5"
     with pytest.raises(ValueError):
         resolve_wire("gzip")
 
