@@ -292,6 +292,8 @@ def test_streaming_predictor_strips_spectral_wire():
               freq_range=[0, 16000], quantiles=[0.01, 0.999])
     s = StreamingPredictor(_WP(), sp, wire="sp-bfp6")
     assert s.wire == "bfp6"
+    s5 = StreamingPredictor(_WP(), sp, wire="sp-bfp5")
+    assert s5.wire == "bfp5"
 
 
 @pytest.mark.parametrize("wire", ["sp-bfp6", "sp-bfp5"])
