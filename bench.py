@@ -432,6 +432,24 @@ def measure_tpu_predict(model_dir: Path) -> dict:
     from orcai_tpu.ops.wire_codec import resolve_wire, wire_bytes_per_sample
 
     wire_codec = resolve_wire(None)
+    # an sp-* wire only regrids when the model's spectrogram geometry allows
+    # it (ops/spectral.spectral_geometry); otherwise the timed passes shipped
+    # the plain base codec at the native rate — the floor analysis must
+    # price the EFFECTIVE wire, not the requested name
+    from orcai_tpu.ops.wire_codec import spectral_wire_base
+
+    sp_base = spectral_wire_base(wire_codec)
+    sp_geo = None
+    if sp_base is not None:
+        from orcai_tpu.ops.spectral import spectral_geometry
+
+        sp_par = orcai_parameter["spectrogram"]
+        sp_geo = spectral_geometry(
+            sp_par["sampling_rate"], sp_par["nfft"],
+            sp_par["n_overlap"], sp_par["freq_range"],
+        )
+        if sp_geo is None:
+            wire_codec = sp_base
     bytes_per_sample = wire_bytes_per_sample(wire_codec)
 
     # encoder provenance + rate: the bfp host encode sits on the critical
@@ -443,7 +461,6 @@ def measure_tpu_predict(model_dir: Path) -> dict:
         from orcai_tpu.ops.wire_codec import (
             bfp_encode,
             mulaw_encode,
-            spectral_wire_base,
             wire_bfp_bits,
         )
 
@@ -451,19 +468,12 @@ def measure_tpu_predict(model_dir: Path) -> dict:
             -32768, 32768, 16 * 1024 * 1024
         ).astype(np.int16)
         base = spectral_wire_base(wire_codec) or wire_codec
-        sp_geo = None
-        if base != wire_codec:
+        if sp_geo is not None:
             # sp-* wires: the host encode is resample34 THEN the base codec
             # — the probe must price both stages (the resample is the new
             # critical-path host loop)
-            from orcai_tpu.ops.spectral import resample34, spectral_geometry
+            from orcai_tpu.ops.spectral import resample34
 
-            sp_par = orcai_parameter["spectrogram"]
-            sp_geo = spectral_geometry(
-                sp_par["sampling_rate"], sp_par["nfft"],
-                sp_par["n_overlap"], sp_par["freq_range"],
-            )
-        if sp_geo is not None:
             sp_sr, sp_pass_hz = orcai_parameter["spectrogram"][
                 "sampling_rate"
             ], sp_geo[3]

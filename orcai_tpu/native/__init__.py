@@ -73,12 +73,37 @@ def _build(srcs: list[Path], out: Path) -> bool:
     return False
 
 
+def _isa_fingerprint() -> bytes:
+    """Host-ISA marker folded into the .so cache name.
+
+    The library is built with -march=native, so a cached binary is only
+    valid on a host with the same instruction-set extensions: a cache
+    directory that survives a machine change (shared volume, migrated
+    image) must MISS rather than hand ctypes a .so whose first AVX-512
+    instruction SIGILLs the process. The cpuinfo `flags` line enumerates
+    exactly what -march=native could have emitted.
+    """
+    import platform
+
+    marker = platform.machine().encode()
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                if line.startswith((b"flags", b"Features")):
+                    marker += b"|" + b" ".join(sorted(line.split()[2:]))
+                    break
+    except OSError:
+        pass
+    return marker
+
+
 @lru_cache(maxsize=1)
 def _load_wirecodec() -> ctypes.CDLL | None:
     """Load (building if needed) the native library; None on any failure.
 
-    One .so covers every native helper; its name hashes all C sources, so
-    editing any of them rebuilds on next use.
+    One .so covers every native helper; its name hashes all C sources plus
+    the host-ISA fingerprint, so editing any source — or moving the cache
+    to a CPU with different SIMD extensions — rebuilds on next use.
     """
     if os.environ.get("ORCAI_TPU_DISABLE_NATIVE") == "1":
         return None
@@ -88,6 +113,7 @@ def _load_wirecodec() -> ctypes.CDLL | None:
         for s in srcs:
             h.update(s.name.encode())
             h.update(s.read_bytes())
+        h.update(_isa_fingerprint())
         so = _cache_dir() / f"orcai-native-{h.hexdigest()[:16]}.so"
         if not so.exists() and not _build(srcs, so):
             return None

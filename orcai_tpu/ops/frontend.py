@@ -370,6 +370,11 @@ def compute_spectrogram_device(
     if audio.ndim != 1:
         raise ValueError("compute_spectrogram expects mono audio (n,)")
     wire = resolve_wire(wire)
+    # the returned frequency vector is a CONTRACT: the uncropped spectrum of
+    # the caller's native geometry (what the reference passes around and
+    # pipeline/spectrogram.py persists as frequencies.json), independent of
+    # any internal geometry a spectral wire runs the DFT at
+    native_sr, native_n_fft = sampling_rate, n_fft
     spectral_base = spectral_wire_base(wire)
     if spectral_base is not None:
         # spectral wire (ops/spectral.py): resample 3/4 on host and run the
@@ -401,8 +406,11 @@ def compute_spectrogram_device(
     n = audio.shape[0]
     n_frames = 1 + n // hop_length
 
-    frequencies = fft_frequencies(sampling_rate, n_fft)
+    frequencies = fft_frequencies(native_sr, native_n_fft)
     times = frames_to_time(n_frames, sampling_rate, hop_length)
+    # crop indices on the native vector: identical integers on the spectral
+    # wire's internal 3/4 grid (same bin spacing, retained band below both
+    # Nyquists — ops/spectral.spectral_geometry guarantees it)
     lo_idx, hi_idx = freq_crop_indices(frequencies, freq_range)
     n_bins = hi_idx - lo_idx
 

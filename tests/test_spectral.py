@@ -231,8 +231,30 @@ def test_frontend_sp_wire_is_resample_then_base():
         x34, sr34, nfft34, hop34, [0, 16000], [0.01, 0.999], wire="bfp6"
     )
     np.testing.assert_array_equal(spec_sp, spec_base)
-    np.testing.assert_array_equal(freqs_sp, freqs_base)
     np.testing.assert_array_equal(times_sp, times_base)
+    # the returned frequency vector is the CALLER's native uncropped
+    # spectrum (the reference contract) — the sp wire's internal 3/4
+    # geometry must not leak out; it agrees with the base call's vector on
+    # the shared bins
+    assert len(freqs_sp) == 1 + NFFT // 2
+    np.testing.assert_allclose(freqs_sp[: len(freqs_base)], freqs_base)
+
+
+def test_frontend_sp_wire_returns_native_frequency_vector():
+    """compute_spectrogram's frequency vector is identical across wires:
+    pipeline/spectrogram.py persists it as frequencies.json, so a spectral
+    wire must not change the file's contents vs the exact wire."""
+    from orcai_tpu.ops.frontend import compute_spectrogram
+
+    x = _bandlimited_audio()[: SR * 2]
+    _, freqs_exact, _ = compute_spectrogram(
+        x, SR, NFFT, HOP, [0, 16000], [0.01, 0.999], wire="exact"
+    )
+    for wire in ("sp-bfp6", "sp-bfp5"):
+        _, freqs, _ = compute_spectrogram(
+            x, SR, NFFT, HOP, [0, 16000], [0.01, 0.999], wire=wire
+        )
+        np.testing.assert_array_equal(freqs, freqs_exact)
 
 
 def test_frontend_sp_wire_grid_and_values_match_native_rate():
