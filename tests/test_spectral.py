@@ -125,6 +125,38 @@ def test_portable_c_path_matches_numpy(tmp_path, monkeypatch):
         native._load_wirecodec.cache_clear()
 
 
+def test_direct_convolution_oracle_bit_exact():
+    """Independent oracle: zero-stuffed direct convolution in int64.
+
+    The polyphase kernel's output must equal, bit for bit, the textbook
+    definition of a 3/4 rational resample with the same Q15 taps: upsample
+    by 3 (zero stuffing), convolve with the prototype filter, sample every
+    4th point at the filter's group delay D=(n_taps-1)/2, then apply the
+    kernel's exact (acc + 16384) >> 15 round and int16 clamp. np.convolve
+    shares no code or index algebra with the polyphase decomposition in
+    _resample34_numpy / native/resample.c, so any phase, offset, or
+    tap-ordering bug shows up as an integer mismatch rather than hiding
+    inside an SNR tolerance.
+    """
+    rng = np.random.default_rng(11)
+    taps = design_taps34(SR, PASS_HZ)
+    delay = (len(taps) - 1) // 2
+    for n in (1, 7, 1024, 4096 + 3):
+        x = rng.integers(-32768, 32768, n).astype(np.int16)
+        if n > 4:  # extremes exercise the rounding clamp
+            x[:4] = [-32768, 32767, -32768, 32767]
+        n_out = 3 * n // 4
+        xup = np.zeros(3 * n, np.int64)
+        xup[::3] = x
+        full = np.convolve(xup, taps.astype(np.int64))
+        idx = 4 * np.arange(n_out) + delay
+        ref = np.clip((full[idx] + 16384) >> 15, -32768, 32767).astype(
+            np.int16
+        )
+        np.testing.assert_array_equal(_resample34_numpy(x, taps, n_out), ref)
+        np.testing.assert_array_equal(resample34(x, SR, PASS_HZ), ref)
+
+
 def test_tone_snr_and_delay():
     """A passband tone survives with >55 dB SNR and zero net delay."""
     n = SR  # 1 s
