@@ -119,7 +119,7 @@ def cpu_predict_baseline_main() -> None:
     numpy rFFT frontend + Keras model.predict over the same windows — the
     same work the reference does through librosa + keras on CPU (reference
     spectrogram.py:15-87, predict.py:235-317). 5-minute recording, 1 warmup
-    + 3 timed runs, median; measured before any TPU process exists.
+    + 5 timed runs, median; measured before any TPU process exists.
     """
     import jax
 

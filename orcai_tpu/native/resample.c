@@ -243,6 +243,10 @@ static int64_t rs_run(const int16_t *x, int64_t n_in, const int16_t *taps,
 }
 #endif
 
+#ifdef __cplusplus
+extern "C" {
+#endif
+
 int64_t orcai_resample34(const int16_t *x, int64_t n_in,
                          const int16_t *taps, int64_t n_taps,
                          int16_t *y, int64_t n_out)
@@ -260,3 +264,7 @@ int64_t orcai_resample34(const int16_t *x, int64_t n_in,
         return 0;
     return rs_run(x, n_in, taps, n_taps, y, n_out);
 }
+
+#ifdef __cplusplus
+}
+#endif

@@ -51,6 +51,7 @@ from orcai_tpu.ops.wire_codec import (
     mulaw_decode_f32,
     mulaw_encode,
     resolve_wire,
+    round_to_int16,
     spectral_wire_base,
     wire_bfp_bits,
 )
@@ -397,12 +398,10 @@ def compute_spectrogram_device(
         # the wire marker — raw uint8 PCM never reaches the device paths
         # (it is widened to float32 above / in io.wav before this point)
         audio = mulaw_encode(audio)
-    elif bfp_bits and audio.dtype != np.int16:
+    elif bfp_bits:
         # bfp encodes per chunk below; round float input to int16 once so
         # chunk encodes are cheap slices of an integer buffer
-        audio = np.clip(
-            np.rint(audio.astype(np.float64) * 32768.0), -32768, 32767
-        ).astype(np.int16)
+        audio = round_to_int16(audio)
     n = audio.shape[0]
     n_frames = 1 + n // hop_length
 

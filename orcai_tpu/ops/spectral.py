@@ -142,11 +142,9 @@ def resample34(x: np.ndarray, sr: int, pass_hz: float) -> np.ndarray:
     every coded wire applies). Dispatches to the C kernel when available;
     the numpy path is bit-exact with it.
     """
-    x = np.asarray(x)
-    if x.dtype != np.int16:
-        x = np.clip(
-            np.rint(x.astype(np.float64) * 32768.0), -32768, 32767
-        ).astype(np.int16)
+    from orcai_tpu.ops.wire_codec import round_to_int16
+
+    x = round_to_int16(x)
     n_out = 3 * x.shape[0] // 4
     taps = design_taps34(int(sr), float(pass_hz))
     from orcai_tpu.native import resample34_native

@@ -56,6 +56,22 @@ def decode_table_int16() -> np.ndarray:
     return out
 
 
+def round_to_int16(x: np.ndarray) -> np.ndarray:
+    """Round float audio in [-1, 1] to int16; int16 passes through.
+
+    The ONE float->int16 conversion every host wire encoder and the 3/4
+    resampler share. Identical rounding is a parity contract — the device's
+    exact wire applies the same 1/32768 scaling, and any two call sites
+    diverging here would make coded wires disagree on the same float input.
+    """
+    x = np.asarray(x)
+    if x.dtype == np.int16:
+        return x
+    return np.clip(
+        np.rint(x.astype(np.float64) * 32768.0), -32768, 32767
+    ).astype(np.int16)
+
+
 @lru_cache(maxsize=1)
 def encode_table() -> np.ndarray:
     """(65536,) uint8 LUT: int16 sample (viewed as uint16) -> code byte.
@@ -90,11 +106,7 @@ def mulaw_encode(x: np.ndarray, *, native: bool = True) -> np.ndarray:
     orcai_tpu.native when available (identical by construction — it indexes
     the same LUT); `native=False` forces the numpy path (tests).
     """
-    x = np.asarray(x)
-    if x.dtype != np.int16:
-        x = np.clip(np.rint(x.astype(np.float64) * 32768.0), -32768, 32767).astype(
-            np.int16
-        )
+    x = round_to_int16(x)
     if native:
         from orcai_tpu.native import mulaw_encode_native
 
@@ -210,11 +222,7 @@ def bfp_encode(
     Bit-exact equality between the two paths is asserted in tests;
     `native=False` forces numpy.
     """
-    x = np.asarray(x)
-    if x.dtype != np.int16:
-        x = np.clip(np.rint(x.astype(np.float64) * 32768.0), -32768, 32767).astype(
-            np.int16
-        )
+    x = round_to_int16(x)
     if native:
         from orcai_tpu.native import bfp_encode_native
 
@@ -276,11 +284,7 @@ def bfp_encode_wire(
     mantissas followed by n_blocks shift bytes (n_blocks recoverable from
     the length: len = n_blocks * (block_bytes + 1)).
     """
-    x = np.asarray(x)
-    if x.dtype != np.int16:
-        x = np.clip(np.rint(x.astype(np.float64) * 32768.0), -32768, 32767).astype(
-            np.int16
-        )
+    x = round_to_int16(x)
     bpb = bfp_block_bytes(mant_bits)
     n_blocks = -(-x.shape[0] // BFP_BLOCK)
     buf = np.empty(n_blocks * (bpb + 1), np.uint8)

@@ -17,6 +17,8 @@ import time
 
 import numpy as np
 
+from orcai_tpu.ops.wire_codec import WIRE_CODECS
+
 
 def bucket_sample_counts(max_minutes: float, sr: int, hop: int) -> list[int]:
     """One representative sample count per frame bucket up to max_minutes."""
@@ -108,7 +110,7 @@ def main() -> None:
                     help="model directory (default: bundled orcai-v1)")
     ap.add_argument("--batch_size", type=int, default=128)
     ap.add_argument("--wire_codec", default="auto",
-                    choices=["auto", "exact", "mulaw8", "bfp6", "bfp5"],
+                    choices=["auto", *WIRE_CODECS],
                     help="wire codec to warm (must match production "
                     "predicts; auto resolves as `orcai predict` does)")
     args = ap.parse_args()

@@ -108,6 +108,53 @@ def test_wire_buffer_device_decode():
     )
 
 
+def test_gxx_only_toolchain_builds_working_library(tmp_path, monkeypatch):
+    """A host with only g++ (no cc/gcc) still gets the full native library.
+
+    _compilers() falls back to g++; C++ compilation mangles any exported
+    symbol not wrapped in extern "C", and a single mangled export makes
+    _load_wirecodec's attribute binding raise — the blanket except then
+    silently downgrades EVERY helper (encoders, lz4, resampler) to numpy.
+    Regression test for the missing guard in resample.c: build with g++
+    into a fresh cache and exercise every entry point.
+    """
+    import shutil
+
+    gxx = shutil.which("g++")
+    if gxx is None:
+        pytest.skip("no g++ in this environment")
+    monkeypatch.setenv("CC", gxx)
+    monkeypatch.setenv("ORCAI_TPU_NATIVE_CACHE_DIR", str(tmp_path / "cache"))
+    native._load_wirecodec.cache_clear()
+    try:
+        assert native.native_available(), "g++ build failed or symbol mangled"
+        rng = np.random.default_rng(23)
+        x = rng.integers(-32768, 32768, 4 * BFP_BLOCK + 7).astype(np.int16)
+        pn, sn = bfp_encode(x, 6, native=True)
+        pr, sr = bfp_encode(x, 6, native=False)
+        np.testing.assert_array_equal(pn, pr)
+        np.testing.assert_array_equal(sn, sr)
+        np.testing.assert_array_equal(
+            mulaw_encode(x, native=True), mulaw_encode(x, native=False)
+        )
+        from orcai_tpu.ops.spectral import _resample34_numpy, design_taps34
+
+        taps = design_taps34(48000, 15937.5)
+        n_out = 3 * len(x) // 4
+        got = native.resample34_native(x, taps, n_out)
+        assert got is not None, "resample34 missing from the g++ build"
+        np.testing.assert_array_equal(got, _resample34_numpy(x, taps, n_out))
+
+        from orcai_tpu.io.blosc import lz4_compress_block
+
+        data = x.tobytes()
+        assert native.lz4_decompress_native(
+            lz4_compress_block(data), len(data)
+        ) == data
+    finally:
+        native._load_wirecodec.cache_clear()
+
+
 def test_disable_env_falls_back(monkeypatch):
     monkeypatch.setenv("ORCAI_TPU_DISABLE_NATIVE", "1")
     native._load_wirecodec.cache_clear()
