@@ -48,7 +48,7 @@ from functools import lru_cache
 
 import numpy as np
 
-from orcai_tpu.ops.wire_codec import spectral_wire_base
+from orcai_tpu.ops.wire_codec import round_to_int16, spectral_wire_base
 
 _PAD = 512  # must match RS_PAD in native/resample.c
 _STOP_DB = 70.0  # stopband attenuation target for the tap design
@@ -142,8 +142,6 @@ def resample34(x: np.ndarray, sr: int, pass_hz: float) -> np.ndarray:
     every coded wire applies). Dispatches to the C kernel when available;
     the numpy path is bit-exact with it.
     """
-    from orcai_tpu.ops.wire_codec import round_to_int16
-
     x = round_to_int16(x)
     n_out = 3 * x.shape[0] // 4
     taps = design_taps34(int(sr), float(pass_hz))

@@ -198,9 +198,9 @@ def main() -> None:
     sr, audio = wavfile.read(str(src))
     if audio.ndim > 1:
         audio = audio[:, args.channel - 1]
-    if audio.dtype != np.int16:
-        audio = np.clip(np.rint(audio * 32768.0), -32768, 32767).astype(np.int16)
-    audio = np.ascontiguousarray(audio)
+    from orcai_tpu.ops.wire_codec import round_to_int16
+
+    audio = np.ascontiguousarray(round_to_int16(audio))
 
     tmp = Path(tempfile.mkdtemp(prefix="wire_lab_"))
     msgr = Messenger(verbosity=0)
