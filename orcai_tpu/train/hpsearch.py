@@ -56,10 +56,11 @@ from orcai_tpu.train.trainer import (
     make_optimizer,
     resolve_compute_dtype,
     streaming_runners,
+    variables_from_bytes,
 )
 from orcai_tpu.utils import (
     Messenger,
-    SEED_ID_LOAD_TEST_DATA,
+    SEED_ID_LOAD_TRAIN_DATA,
     SEED_ID_LOAD_VAL_DATA,
 )
 
@@ -272,7 +273,11 @@ def hyperparameter_search(
             tmp = seed_file.with_suffix(".tmp")
             tmp.write_text(json.dumps({"seed": search_seed}))
             tmp.replace(seed_file)  # atomic publish
-    train_seed = [SEED_ID_LOAD_TEST_DATA, search_seed]
+    # the reference's hpsearch shuffles its TRAINING data with the
+    # test-data seed ID (reference hpsearch.py:174, an upstream copy-paste
+    # slip that collides with evaluate's test stream and diverges from its
+    # own train.py); not replicated, like the DATA_TYPES mutation bug
+    train_seed = [SEED_ID_LOAD_TRAIN_DATA, search_seed]
     val_seed = [SEED_ID_LOAD_VAL_DATA, search_seed]
 
     import flax.serialization
@@ -360,24 +365,21 @@ def hyperparameter_search(
         trainer = Trainer(model, make_optimizer(mp["learning_rate"]), mesh=mesh)
         state = trainer.init_state(tuple(dataset_shape["spectrogram"]), seed=seed_int)
         initial_history = None
+        initial_best_state_bytes = None
         if carry_from is not None:
             carried = store.load_weights(carry_from)
             prev_record = store.load(carry_from)
             if carried is not None and prev_record is not None:
-                import jax.numpy as jnp
-
-                template = {
-                    "params": jax.device_get(state[0]),
-                    "batch_stats": jax.device_get(state[1]),
-                }
-                best = flax.serialization.from_bytes(template, carried)
+                best = variables_from_bytes(state, carried)
                 state = (
-                    jax.tree.map(jnp.asarray, best["params"]),
-                    jax.tree.map(jnp.asarray, best["batch_stats"]),
-                    state[2],
-                    state[3],
+                    best["params"], best["batch_stats"], state[2], state[3]
                 )
                 initial_history = prev_record.get("history")
+                # the carried weights are the best state seen so far: seed
+                # fit's best-restore with them so a rung that never beats
+                # the carried score still returns (and persists) weights
+                # consistent with the recorded score = max(history)
+                initial_best_state_bytes = carried
 
         dd = device_data_for(device)
         if dd is not None:
@@ -405,6 +407,13 @@ def hyperparameter_search(
             initial_lr=mp["learning_rate"],
             initial_epoch=initial_epoch,
             initial_history=initial_history,
+            initial_best_state_bytes=initial_best_state_bytes,
+            # Hyperband promotions start the new rung with fresh callbacks
+            # (keras-tuner restarts them per fit): without this, fit would
+            # approximate the staleness from the carried history and could
+            # early-stop a promoted trial after a single epoch, starving
+            # exactly the most promising configs of their earned budget
+            initial_counters={"stale_early": 0, "stale_lr": 0},
         )
         score = max(history[monitor])
         record = {
@@ -532,11 +541,7 @@ def hyperparameter_search(
         model = build_model(param)
         trainer = Trainer(model, make_optimizer(param["model"]["learning_rate"]))
         state = trainer.init_state(tuple(dataset_shape["spectrogram"]), seed=seed_int)
-        template = {
-            "params": jax.device_get(state[0]),
-            "batch_stats": jax.device_get(state[1]),
-        }
-        variables = flax.serialization.from_bytes(template, best_bytes)
+        variables = variables_from_bytes(state, best_bytes)
         save_orcai_model(
             hps_model_dir, param, variables,
             input_shape=tuple(dataset_shape["spectrogram"]),

@@ -369,6 +369,22 @@ def device_runners(
     return run_train, run_val
 
 
+def variables_from_bytes(state, raw: bytes) -> dict:
+    """Deserialize a {params, batch_stats} checkpoint payload against the
+    shapes of `state` (the init_state tuple), returning device arrays.
+
+    The single restore path for every weight-bytes consumer — fit's
+    best-restore, hpsearch's rung weight-carrying and its final best-model
+    save — so a future change to the payload layout lands in one place.
+    """
+    template = {
+        "params": jax.device_get(state[0]),
+        "batch_stats": jax.device_get(state[1]),
+    }
+    restored = flax.serialization.from_bytes(template, raw)
+    return jax.tree.map(jnp.asarray, restored)
+
+
 def fit(
     trainer: Trainer,
     state,
@@ -406,8 +422,24 @@ def fit(
     """
     if msgr is None:
         msgr = Messenger(verbosity=0)
+    if "loss" in monitor.lower():
+        # monitoring matches the reference exactly: keras EarlyStopping /
+        # ModelCheckpoint are constructed with mode="max" (reference
+        # train.py:165-180), so a loss-like monitor inverts there too —
+        # but warn loudly instead of silently optimizing the wrong way
+        msgr.warning(
+            f"monitor {monitor!r} looks like a loss but monitoring is "
+            "max-mode (as in the reference); early stopping, LR plateau "
+            "and best-restore will treat RISING values as improvement"
+        )
 
-    history: dict[str, list] = dict(initial_history) if initial_history else {}
+    # copy the metric lists, not just the dict: fit appends per epoch and
+    # must never mutate the caller's carried history in place
+    history: dict[str, list] = (
+        {k: list(v) for k, v in initial_history.items()}
+        if initial_history
+        else {}
+    )
     past = history.get(monitor, [])
     best_metric = max(past) if past else -np.inf
     # on resume, the pre-interruption best weights are re-seeded so the
@@ -477,17 +509,8 @@ def fit(
 
     # restore best weights (EarlyStopping(restore_best_weights=True))
     if best_state_bytes is not None:
-        template = {
-            "params": jax.device_get(state[0]),
-            "batch_stats": jax.device_get(state[1]),
-        }
-        best = flax.serialization.from_bytes(template, best_state_bytes)
-        state = (
-            jax.tree.map(jnp.asarray, best["params"]),
-            jax.tree.map(jnp.asarray, best["batch_stats"]),
-            state[2],
-            state[3],
-        )
+        best = variables_from_bytes(state, best_state_bytes)
+        state = (best["params"], best["batch_stats"], state[2], state[3])
     return state, history
 
 

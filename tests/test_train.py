@@ -177,6 +177,75 @@ def test_fit_counters_exact_resume():
     assert resumed_history["learning_rate"] == full_history["learning_rate"]
 
 
+def test_fit_promotion_semantics():
+    """The hpsearch promotion contract (run_trial's fit wiring): fresh
+    callback counters give a promoted trial its full patience budget in
+    the new rung, and seeding best-restore with the carried weights makes
+    fit return weights consistent with score = max(carried history) when
+    the rung never improves. Regression: promoted trials used to inherit
+    an approximated staleness >= patience from the carried history (one
+    epoch, then stop) and returned final-epoch weights under a
+    carried-best score."""
+    import flax.serialization
+
+    from orcai_tpu.train.trainer import variables_from_bytes
+
+    model = build_model(PARAM)
+    trainer = Trainer(model, make_optimizer(1e-3), mesh=make_mesh(n_data=1))
+    state0 = trainer.init_state(INPUT_SHAPE, seed=0)
+    carried_bytes = flax.serialization.to_bytes(
+        {"params": jax.device_get(state0[0]),
+         "batch_stats": jax.device_get(state0[1])}
+    )
+    # carried rung: best at its first epoch, then four stale epochs
+    carried = {"val_MBA": [0.9, 0.5, 0.5, 0.5, 0.5],
+               "MBA": [0.5] * 5, "loss": [1.0] * 5, "val_loss": [1.0] * 5,
+               "learning_rate": [1e-3] * 5}
+
+    def fake_train(state, epoch):
+        # drift the params so the final state is distinguishable from the
+        # carried one
+        drifted = jax.tree.map(lambda p: p + 1.0, state[0])
+        return (drifted, state[1], state[2], state[3]), {
+            "loss": 1.0, "MBA": 0.5,
+        }
+
+    def fake_val(state, epoch):
+        return {"val_loss": 1.0, "val_MBA": 0.4}  # never beats 0.9
+
+    state, history = fit(
+        trainer, state0, fake_train, fake_val,
+        epochs=len(carried["val_MBA"]) + 6,
+        early_stopping_patience=3,
+        reduce_lr_patience=10,
+        initial_lr=1e-3,
+        initial_epoch=len(carried["val_MBA"]),
+        initial_history=carried,
+        initial_best_state_bytes=carried_bytes,
+        initial_counters={"stale_early": 0, "stale_lr": 0},
+    )
+    # the full patience budget ran in the new rung
+    assert len(history["val_MBA"]) - 5 == 3
+    # returned weights are the carried best, not the drifted final state
+    best = variables_from_bytes(state0, carried_bytes)
+    jax.tree.map(np.testing.assert_array_equal, state[0], best["params"])
+
+    # contrast: without explicit counters fit approximates staleness from
+    # the carried history (the train-resume path) — already >= patience
+    # here, so the run stops after a single epoch
+    _, approx_history = fit(
+        trainer, trainer.init_state(INPUT_SHAPE, seed=0),
+        fake_train, fake_val,
+        epochs=len(carried["val_MBA"]) + 6,
+        early_stopping_patience=3,
+        reduce_lr_patience=10,
+        initial_lr=1e-3,
+        initial_epoch=len(carried["val_MBA"]),
+        initial_history={k: list(v) for k, v in carried.items()},
+    )
+    assert len(approx_history["val_MBA"]) - 5 == 1
+
+
 def test_train_e2e_and_resume(tmp_path):
     x, y = _synthetic_arrays(n=32)
 
