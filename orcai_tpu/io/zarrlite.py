@@ -140,7 +140,9 @@ class ZarrArray:
                 slices.append(slice(k, k + 1))
             else:
                 raise TypeError(f"unsupported index {k!r}")
-        out_shape = tuple(s.stop - s.start for s in slices)
+        # max(0, ...): an empty descending slice (start > stop, e.g. [5:2])
+        # must return an empty array like numpy/zarr, not a negative dim
+        out_shape = tuple(max(0, s.stop - s.start) for s in slices)
         out = np.empty(out_shape, dtype=self.dtype)
         if any(d == 0 for d in out_shape):
             return out

@@ -170,8 +170,14 @@ def _dispatch_wav(
     msgr: Messenger | None = None,
     progressbar: tqdm | None = None,
     wire: str | None = None,
+    on_estimate=None,
 ) -> dict:
     """Upload + dispatch the full device graph for one wav, WITHOUT fetching.
+
+    `on_estimate(est_bytes)` fires after the host read but BEFORE any device
+    work, with this recording's device-resident estimate — the batch wave
+    uses it to flush pending fetches first so peak HBM stays at the wave
+    budget instead of budget + one recording.
 
     Returns a dispatch record to pass to _finish_wav. For in-memory
     recordings no device->host transfer happens here, so a batch can
@@ -235,6 +241,18 @@ def _dispatch_wav(
             "est_bytes": 0,
         }
 
+    if on_estimate is not None:
+        # frame count is a pure function of the host-side audio length
+        # (1 + n // hop, grid-preserved under the sp wires), so the wave's
+        # HBM estimate is available before the upload commits any memory
+        n_frames_pre = 1 + audio.shape[-1] // sp["n_overlap"]
+        n_bins_pre = shape["input_shape"][1]
+        on_estimate(
+            _bucket_frames(n_frames_pre) * n_bins_pre * 4
+            + predictor.planned_spec_bytes(
+                n_frames_pre, n_bins_pre, _bucket_frames(n_frames_pre)
+            )
+        )
     spec_dev, n_frames, _, times = make_spectrogram_from_params_device(
         audio, sp, wire=wire
     )
@@ -373,10 +391,11 @@ def _resolve_output_path(
     output_path: Path | str | None,
     overwrite: bool,
     msgr: Messenger,
-) -> Path | None:
-    if output_path is None:
-        return None
-    if output_path == "default":
+) -> Path:
+    # None falls through to the reference's "default" naming: previously it
+    # leaked through to save_predictions, which silently discarded the TSV
+    # (DataFrame.to_csv(None) returns a string) after doing all the compute
+    if output_path is None or output_path == "default":
         filename = (
             f"{recording_path.stem}_c{channel}_"
             f"{orcai_parameter['name']}_predicted.txt"
@@ -625,6 +644,13 @@ def predict(
                     f"Annotation file already pending in this batch: "
                     f"{out_path}"
                 )
+            def flush_if_next_overflows(est: int) -> None:
+                # bound PEAK device residency at the budget: fetch the
+                # pending wave before this recording's upload commits
+                # memory, not after the overshoot already happened
+                if pending_bytes and pending_bytes + est > wave_budget:
+                    flush_wave()
+
             disp = _dispatch_wav(
                 recording_path,
                 recording_table.loc[i, "channel"],
@@ -634,6 +660,7 @@ def predict(
                 msgr=quiet,
                 progressbar=progressbar,
                 wire=wire,
+                on_estimate=flush_if_next_overflows,
             )
         except Exception as e:  # keep batch going on per-file failure
             msgr.error(

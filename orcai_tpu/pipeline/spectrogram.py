@@ -116,13 +116,17 @@ def create_spectrograms(
     overwrite: bool = False,
     verbosity: int = 2,
     msgr: Messenger | None = None,
+    wire: str = "exact",
 ) -> None:
     """Batch spectrogram production over a recording table.
 
     Filtering semantics follow the reference driver (spectrogram.py:226-321):
     skip non-annotated recordings, recordings with no possible calls, and
     recordings whose spectrogram already exists (crash-resume) unless
-    overridden by the corresponding flags.
+    overridden by the corresponding flags. `wire` opts the upload into a
+    coded format ("auto"/"mulaw8"/"bfp6"/"bfp5"); it defaults to "exact"
+    because these spectrograms are MATERIALIZED for training — see
+    make_spectrogram.
     """
     if msgr is None:
         msgr = Messenger(verbosity=verbosity, title="Creating spectrograms")
@@ -177,6 +181,8 @@ def create_spectrograms(
         total=len(recording_table),
         disable=verbosity < 2,
     ):
-        _make_and_save_spectrogram(recording, orcai_parameter, output_dir)
+        _make_and_save_spectrogram(
+            recording, orcai_parameter, output_dir, wire=wire
+        )
 
     msgr.success("Spectrograms created.")

@@ -255,9 +255,19 @@ def test_batch_mode_creates_output_folder(tmp_path, monkeypatch):
     assert (out / "r1_orcai-v1_predicted.txt").exists()
 
 
-def test_batch_waves_match_single_file_predicts(model_dir, tmp_path, monkeypatch):
-    """Wave-based batch dispatch (multiple flushes forced via a tiny HBM
-    wave budget) produces byte-identical TSVs to one-at-a-time predicts."""
+@pytest.mark.parametrize(
+    "budget",
+    [
+        "1",  # post-append flush after every file
+        "4000000",  # ~1-2x one recording: pre-dispatch flush path
+    ],
+)
+def test_batch_waves_match_single_file_predicts(
+    model_dir, tmp_path, monkeypatch, budget
+):
+    """Wave-based batch dispatch (flushes forced via a small HBM wave
+    budget, both the post-append flush and the peak-bounding pre-dispatch
+    flush) produces byte-identical TSVs to one-at-a-time predicts."""
     wav_dir = tmp_path / "wavs"
     wav_dir.mkdir()
     n_rec = 3
@@ -276,7 +286,7 @@ def test_batch_waves_match_single_file_predicts(model_dir, tmp_path, monkeypatch
 
     batch_out = tmp_path / "batch"
     batch_out.mkdir()
-    monkeypatch.setenv("ORCAI_TPU_WAVE_HBM_BYTES", "1")  # flush every file
+    monkeypatch.setenv("ORCAI_TPU_WAVE_HBM_BYTES", budget)
     predict(
         table_path,
         model_dir=model_dir,
@@ -299,3 +309,21 @@ def test_batch_waves_match_single_file_predicts(model_dir, tmp_path, monkeypatch
         )
         batch_tsv = (batch_out / f"w{i}_pm-test_predicted.txt").read_text()
         assert batch_tsv == single_out.read_text()
+
+
+def test_output_path_none_means_default(model_dir, tmp_path):
+    """output_path=None saves next to the recording under the default name
+    (regression: it used to run the full pipeline and silently discard the
+    TSV — DataFrame.to_csv(None) returns a string)."""
+    wav = tmp_path / "nonedest.wav"
+    _write_recording(wav, seconds=5.0, seed=4)
+    predict(
+        wav,
+        model_dir=model_dir,
+        output_path=None,
+        msgr=Messenger(verbosity=0),
+        verbosity=0,
+        predict_batch_size=8,
+    )
+    out = tmp_path / "nonedest_c1_pm-test_predicted.txt"
+    assert out.exists() and out.read_text().startswith("start")

@@ -97,3 +97,13 @@ def test_integer_index_edges(tmp_path):
         z[5]
     with pytest.raises(NotImplementedError):
         z[::2]
+
+
+def test_empty_and_descending_slices(tmp_path):
+    """numpy-style contract: empty slices (incl. start > stop) return
+    empty arrays, not a negative-dimension crash."""
+    arr = np.arange(20, dtype=np.float32).reshape(5, 4)
+    save_as_zarr(arr, tmp_path / "e.zarr", compress=False)
+    z = open_zarr(tmp_path / "e.zarr")
+    for sl in (slice(5, 2), slice(3, 3), slice(4, 2), slice(7, 9)):
+        np.testing.assert_array_equal(z[sl], arr[sl])
