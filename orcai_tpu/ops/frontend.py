@@ -96,17 +96,24 @@ def hann_window(n_fft: int) -> np.ndarray:
     return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)
 
 
+@lru_cache(maxsize=None)
 def _dft_mats(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
     """Real/imag rDFT matrices with the Hann window folded in.
 
     Returns (C, S) of shape (n_fft, n_fft//2 + 1) such that for a raw frame
-    x: re = x @ C, im = x @ S give the windowed rFFT.
+    x: re = x @ C, im = x @ S give the windowed rFFT. Cached (read-only):
+    the O(n_fft^2) trig tables are rebuilt by every frontend/streaming
+    builder on a single-core host otherwise.
     """
     n = np.arange(n_fft)[:, None]
     k = np.arange(n_fft // 2 + 1)[None, :]
     ang = 2.0 * np.pi * n * k / n_fft
     w = hann_window(n_fft)[:, None]
-    return (np.cos(ang) * w).astype(np.float32), (-np.sin(ang) * w).astype(np.float32)
+    C = (np.cos(ang) * w).astype(np.float32)
+    S = (-np.sin(ang) * w).astype(np.float32)
+    C.setflags(write=False)
+    S.setflags(write=False)
+    return C, S
 
 
 def nearest_quantile_index(q: float, n: int) -> int:
@@ -192,8 +199,7 @@ def _build_tile_mag_fn(
     stall compilation on remote-dispatch TPU backends and defeat the
     persistent compilation cache.
     """
-    C_dev = jnp.asarray(_dft_mats(n_fft)[0])
-    S_dev = jnp.asarray(_dft_mats(n_fft)[1])
+    C_dev, S_dev = map(jnp.asarray, _dft_mats(n_fft))
     prec = (
         jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
     )

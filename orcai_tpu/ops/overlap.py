@@ -74,6 +74,17 @@ class WindowPredictor:
         self.snippet_len = snippet_len
         self.shift = snippet_len // 2
         self.down = 2**n_filters
+        # the halves-reshape window extraction assumes snippet_len == 2 *
+        # shift, and the overlap-add grid assumes the trunk's downsample
+        # divides both; an odd or non-divisible length would otherwise
+        # SILENTLY window (snippet_len - 1)-frame strides and mis-align the
+        # output grid (reference models always satisfy this: 736 = 2*16*23)
+        if snippet_len % (2 * self.down) != 0:
+            raise ValueError(
+                f"snippet_len {snippet_len} must be divisible by "
+                f"2 * 2**n_filters = {2 * self.down} for half-overlap "
+                "windowing and the overlap-add output grid"
+            )
         self.out_len = snippet_len // self.down
         self.shift_out = self.shift // self.down
         self.max_windows_per_chunk = max(
@@ -315,7 +326,15 @@ class WindowPredictor:
     def fetch_aggregated(
         agg_dev, count_dev, n_out_total: int
     ) -> tuple[np.ndarray, np.ndarray]:
-        """ONE device->host fetch -> (averaged probs (T//down, L), count)."""
+        """The recording's sync point -> (averaged probs (T//down, L), count).
+
+        Two transfers in practice: the agg fetch is the queue-draining round
+        trip; the count fetch after it costs one more (post-drain) link RTT
+        (~29 ms on the tunnel). Fusing count into the agg buffer device-side
+        would save that RTT per recording — an unmeasured lever, noted in
+        PERFORMANCE.md; transfer-floor accounting should count two round
+        trips per recording until then.
+        """
         agg = np.asarray(agg_dev)[:n_out_total]
         count = np.asarray(count_dev)[:n_out_total]
         valid = count > 0

@@ -139,3 +139,17 @@ def test_too_short_raises():
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_indivisible_snippet_len_raises():
+    """An odd (or non-2*2**n_filters-divisible) snippet length would
+    silently window (snippet_len - 1)-frame strides; it must refuse loudly
+    at construction instead."""
+    import pytest
+
+    model, variables = _model_and_vars()
+    for bad in (SNIPPET - 1, SNIPPET + 2**NFILT):
+        with pytest.raises(ValueError, match="divisible"):
+            WindowPredictor(
+                model, variables, snippet_len=bad, n_filters=NFILT
+            )
