@@ -260,11 +260,17 @@ class ArrayDataset:
 
         # the new dataset is complete — now clear any previous
         # materialization (leftovers from an earlier run with a different
-        # compression/shard count must not shadow the new files) and swap in
+        # compression/shard count must not shadow the new files) and swap
+        # in. Swap invariant: meta.json exists ONLY when every shard it
+        # names is in place — the old meta is deleted first and the new one
+        # renamed last (iterdir order is filesystem-arbitrary), so a crash
+        # anywhere in the window leaves a meta-less directory that load()
+        # reports as an incomplete create-tvt-data run, never a meta that
+        # points at missing shards.
+        (path / "meta.json").unlink(missing_ok=True)
         for old in path.glob("*.npy*"):
             old.unlink()
-        (path / "meta.json").unlink(missing_ok=True)
-        for f in out_dir.iterdir():
+        for f in sorted(out_dir.iterdir(), key=lambda p: p.name == "meta.json"):
             f.rename(path / f.name)
         out_dir.rmdir()
 

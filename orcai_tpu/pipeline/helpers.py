@@ -116,15 +116,11 @@ def init_project(
 
 
 def _scan_files(root: Path, pattern: str, exclude: list[str] | None, msgr):
-    """Recursive scan, sorted for determinism, with substring exclusion."""
-    found = sorted(root.glob(pattern))
-    for fragment in exclude or []:
-        found = [p for p in found if fragment not in str(p)]
-        msgr.info(
-            f"{len(found)} files matching {pattern} left after dropping "
-            f"{fragment!r}"
-        )
-    return found
+    """Recursive scan, sorted for determinism, with substring exclusion
+    (delegates to the reference-parity filter in utils.rle)."""
+    from orcai_tpu.utils.rle import filter_filepaths
+
+    return filter_filepaths(sorted(root.glob(pattern)), exclude or [], msgr)
 
 
 def _files_frame(files, columns: dict) -> pd.DataFrame:

@@ -195,7 +195,16 @@ def serve(
                     f"({time.time() - t0:.1f} s)"
                 )
             except Exception as e:  # keep serving on per-file failure
-                failed_marker.write_text(f"{e}\n")
+                try:
+                    failed_marker.write_text(f"{e}\n")
+                except OSError as marker_err:
+                    # the marker write can fail for the same reason the
+                    # predict did (disk full, read-only output dir) — the
+                    # service must outlive that too; `done` already
+                    # prevents a retry loop for this path
+                    msgr.error(
+                        f"Could not write {failed_marker.name}: {marker_err}"
+                    )
                 msgr.error(f"Error predicting {wav.name}: {e}")
             n_processed += 1
             if max_files is not None and n_processed >= max_files:
