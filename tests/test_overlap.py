@@ -76,6 +76,54 @@ def test_window_predictor_matches_reference_algorithm():
         np.testing.assert_array_equal(binary, exp_binary)
 
 
+def test_window_predictor_other_geometries():
+    """The overlap-add grid matches the reference algorithm for snippet
+    lengths and trunk depths beyond the shipped default — the whole domain
+    the constructor's divisibility validation admits."""
+    rng = np.random.default_rng(2)
+    for snippet_len, filters in [
+        (96, [4, 6, 8, 10]),  # longer snippet, default depth
+        (64, [4, 6, 8]),  # 3 stages: down = 8
+        (128, [2, 3, 4, 5, 6]),  # 5 stages: down = 32
+    ]:
+        nfilt = len(filters)
+        param = {**PARAM, "model": {**PARAM["model"], "filters": filters}}
+        model = build_model(param)
+        variables = model.init(
+            jax.random.key(1), jnp.zeros((1, snippet_len, NBINS, 1))
+        )
+        shift, down = snippet_len // 2, 2**nfilt
+        out_len = snippet_len // down
+        t = snippet_len * 3 + shift // 2 + 3  # ragged tail past last window
+        spec = rng.uniform(size=(t, NBINS)).astype(np.float32)
+        wp = WindowPredictor(
+            model, variables, snippet_len=snippet_len, n_filters=nfilt,
+            batch_size=4, max_windows_per_chunk=8,
+        )
+        agg, cnt = wp.aggregate(spec)
+
+        def apply_fn(x):
+            return np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+
+        n_win = (t - snippet_len) // shift + 1
+        snippets = np.stack(
+            [spec[i * shift : i * shift + snippet_len] for i in range(n_win)]
+        )
+        preds = apply_fn(snippets[..., None])
+        total = t // down
+        exp = np.zeros((total, preds.shape[-1]))
+        c = np.zeros(total)
+        for i, p in enumerate(preds):
+            s = i * (shift // down)
+            exp[s : s + out_len] += p
+            c[s : s + out_len] += 1
+        m = c > 0
+        exp[m] /= c[m, None]
+        assert agg.shape == exp.shape, (snippet_len, filters)
+        np.testing.assert_array_equal(cnt, c)
+        np.testing.assert_allclose(agg, exp, atol=1e-5)
+
+
 def test_planned_spec_bytes_counts_repad_copy():
     """Wave budgeting must count the re-padded spectrogram copy
     aggregate_device creates when the chunk plan's power-of-two span
