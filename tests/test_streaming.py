@@ -82,6 +82,34 @@ def test_streaming_matches_in_memory(model_and_vars, hbm_audio_budget):
     np.testing.assert_allclose(agg1, agg0, atol=1e-5)
 
 
+def test_streaming_matches_in_memory_alt_geometry():
+    """Same streaming-vs-in-memory equality on a different trunk depth and
+    snippet length (down = 8), guarding the tiling/grid math beyond the
+    shipped geometry."""
+    snippet, filters = 48, [4, 6, 8]
+    nfilt = len(filters)
+    param = {**PARAM, "model": {**PARAM["model"], "filters": filters}}
+    model = build_model(param)
+    variables = model.init(jax.random.key(2), jnp.zeros((1, snippet, NBINS, 1)))
+    wp = lambda: WindowPredictor(  # noqa: E731 - tiny local factory
+        model, variables, snippet_len=snippet, n_filters=nfilt,
+        batch_size=4, max_windows_per_chunk=16,
+    )
+    rng = np.random.default_rng(3)
+    audio = (rng.uniform(-1, 1, size=18_000) * 0.5).astype(np.float32)
+    spec, _, _ = compute_spectrogram(
+        audio, SP["sampling_rate"], SP["nfft"], SP["n_overlap"],
+        SP["freq_range"], SP["quantiles"],
+    )
+    agg0, cnt0 = wp().aggregate(spec)
+    streaming = StreamingPredictor(
+        wp(), SP, windows_per_chunk=8, stats_tile_frames=128
+    )
+    agg1, cnt1 = streaming.aggregate(audio)
+    np.testing.assert_array_equal(cnt1, cnt0)
+    np.testing.assert_allclose(agg1, agg0, atol=1e-5)
+
+
 def test_streaming_int16_audio(model_and_vars):
     model, variables = model_and_vars
     rng = np.random.default_rng(1)
