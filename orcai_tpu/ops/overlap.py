@@ -38,6 +38,14 @@ from orcai_tpu.utils.jaxcache import enable_persistent_cache
 enable_persistent_cache()
 
 
+@jax.jit
+def _fused_pack(agg: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
+    """[agg (N, L) || count (N, 1)] as one buffer (both are float32), so
+    fetch_aggregated can pay ONE blocking device->host round trip under
+    ORCAI_TPU_FUSED_FETCH=1."""
+    return jnp.concatenate([agg, count[:, None]], axis=1)
+
+
 def _next_pow2(n: int, minimum: int = 4096) -> int:
     b = minimum
     while b < n:
@@ -328,17 +336,25 @@ class WindowPredictor:
     ) -> tuple[np.ndarray, np.ndarray]:
         """The recording's sync point -> (averaged probs (T//down, L), count).
 
-        Two transfers in practice: the agg fetch is the queue-draining round
+        Default: two transfers — the agg fetch is the queue-draining round
         trip; the count fetch after it costs one more (post-drain) link RTT
-        (~29 ms on the tunnel). Fusing count into the agg buffer device-side
-        would save that RTT per recording — an unmeasured lever, noted in
-        PERFORMANCE.md; transfer-floor accounting should count two round
-        trips per recording until then.
+        (~29 ms on the tunnel). ORCAI_TPU_FUSED_FETCH=1 instead dispatches
+        one device-side concat (dispatches are async fire-and-forget on
+        this backend) and fetches a single [agg || count] buffer — saving
+        one blocking RTT per recording (~4% of the 5-recording bench batch
+        at the link floor). Bit-identical outputs (tested); kept off by
+        default until a TPU A/B measures it (PERFORMANCE.md lever).
         """
-        agg = np.asarray(agg_dev)[:n_out_total]
-        count = np.asarray(count_dev)[:n_out_total]
+        import os
+
+        if os.environ.get("ORCAI_TPU_FUSED_FETCH") == "1":
+            packed = np.asarray(_fused_pack(agg_dev, count_dev))
+            agg = packed[:n_out_total, :-1].copy()  # np view is read-only
+            count = packed[:n_out_total, -1]
+        else:
+            agg = np.asarray(agg_dev)[:n_out_total].copy()
+            count = np.asarray(count_dev)[:n_out_total]
         valid = count > 0
-        agg = agg.copy()
         agg[valid] /= count[valid, None]
         return agg, count
 

@@ -189,6 +189,27 @@ def test_too_short_raises():
         pass
 
 
+def test_fused_fetch_matches_default(monkeypatch):
+    """ORCAI_TPU_FUSED_FETCH=1 (single [agg || count] fetch) is bit-equal
+    to the default two-fetch path on the same device buffers."""
+    model, variables = _model_and_vars()
+    wp = WindowPredictor(
+        model, variables, snippet_len=SNIPPET, n_filters=NFILT, batch_size=4
+    )
+    spec = (
+        np.random.default_rng(5)
+        .uniform(size=(SNIPPET * 5 + 7, NBINS))
+        .astype(np.float32)
+    )
+    agg_dev, count_dev, n_out = wp.aggregate_device(spec)
+    monkeypatch.delenv("ORCAI_TPU_FUSED_FETCH", raising=False)
+    a0, c0 = WindowPredictor.fetch_aggregated(agg_dev, count_dev, n_out)
+    monkeypatch.setenv("ORCAI_TPU_FUSED_FETCH", "1")
+    a1, c1 = WindowPredictor.fetch_aggregated(agg_dev, count_dev, n_out)
+    np.testing.assert_array_equal(c1, c0)
+    np.testing.assert_array_equal(a1, a0)
+
+
 def test_indivisible_snippet_len_raises():
     """An odd (or non-2*2**n_filters-divisible) snippet length would
     silently window (snippet_len - 1)-frame strides; it must refuse loudly
