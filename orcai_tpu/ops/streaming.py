@@ -616,8 +616,6 @@ class StreamingPredictor:
             if (k + 1) % _SYNC_CHUNKS == 0:
                 _ = np.asarray(cnt_dev[:1])  # forcing fetch: drain backlog
 
-        agg = np.asarray(agg_dev)[:n_out_total].copy()
-        count = np.asarray(cnt_dev)[:n_out_total]
-        valid = count > 0
-        agg[valid] /= count[valid, None]
-        return agg, count
+        # same sync-point contract as WindowPredictor.fetch_aggregated,
+        # including the gated single-fetch lever (ORCAI_TPU_FUSED_FETCH=1)
+        return self.wp.fetch_aggregated(agg_dev, cnt_dev, n_out_total)
