@@ -339,11 +339,12 @@ class WindowPredictor:
         Default: two transfers — the agg fetch is the queue-draining round
         trip; the count fetch after it costs one more (post-drain) link RTT
         (~29 ms on the tunnel). ORCAI_TPU_FUSED_FETCH=1 instead dispatches
-        one device-side concat (dispatches are async fire-and-forget on
-        this backend) and fetches a single [agg || count] buffer — saving
-        one blocking RTT per recording (~4% of the 5-recording bench batch
-        at the link floor). Bit-identical outputs (tested); kept off by
-        default until a TPU A/B measures it (PERFORMANCE.md lever).
+        one device-side concat and fetches a single [agg || count] buffer.
+        Bit-identical outputs (tested); measured SLOWER on-chip (median
+        +0.67 s per 5-recording batch, tools/fused_fetch_ab.py — the extra
+        pack-program execution delays the drain more than the saved RTT),
+        so two-fetch stays the default; the flag remains for re-testing on
+        PCIe-attached hosts (PERFORMANCE.md "Measured-worse lever").
         """
         import os
 
