@@ -293,3 +293,62 @@ def test_bench_timed_passes_plateau_escape():
     # uniformly slow run: nothing to escape to, no extension
     out = timed_passes(lambda: 30.0, sleep=sleeps.append)
     assert len(out) == 5
+
+
+def test_bench_degraded_link_retry():
+    """bench.attempts_until_link_healthy guards the artifact against the
+    r3_run12 failure mode (sustained mid-run link degradation): verify it
+    accepts a healthy first attempt untouched, re-attempts when the median
+    implies a link rate far below the best probe OR the link never probed
+    healthy, respects the retry cap, and reports every attempt/probe."""
+    import itertools
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import attempts_until_link_healthy
+
+    WIRE_MB = 137.0  # the real flagship batch's wire bytes
+
+    def run(attempt_seq, probe_seq):
+        sleeps = []
+        attempts, bw = attempts_until_link_healthy(
+            lambda it=iter(attempt_seq): next(it),
+            lambda it=iter(probe_seq): next(it),
+            WIRE_MB,
+            sleep=sleeps.append,
+        )
+        return attempts, bw, sleeps
+
+    # healthy: 45 MB/s probes, median 3.7 s vs floor 3.04 s -> one attempt
+    attempts, bw, sleeps = run([[3.7] * 5], [45.0, 46.0])
+    assert len(attempts) == 1 and sleeps == [] and bw == [45.0, 46.0]
+
+    # sustained degradation then recovery: first attempt's 5.5 s median is
+    # 1.8x the floor priced at the 44 MB/s probe -> one retry succeeds
+    attempts, bw, sleeps = run(
+        [[5.5] * 5, [3.7] * 5], [44.0, 15.0, 46.0]
+    )
+    assert len(attempts) == 2 and len(sleeps) == 1 and len(bw) == 3
+    assert attempts[-1] == [3.7] * 5
+
+    # persistent degradation with healthy probes: capped at 2 retries
+    attempts, bw, sleeps = run(
+        [[5.5] * 5] * 3, [44.0, 44.0, 44.0, 44.0]
+    )
+    assert len(attempts) == 3 and len(sleeps) == 2 and len(bw) == 4
+
+    # uniformly slow link (attempt matches ITS floor, but no probe ever
+    # reached the healthy band): still retries, hoping for recovery
+    attempts, bw, sleeps = run(
+        [[9.5] * 5, [9.5] * 5, [9.5] * 5],
+        itertools.repeat(15.0),
+    )
+    assert len(attempts) == 3 and len(sleeps) == 2
+
+    # recovery via the bw gate: link comes back healthy AND the new attempt
+    # sits at the healthy floor -> stops after the first retry
+    attempts, bw, sleeps = run(
+        [[9.5] * 5, [3.2] * 5], [15.0, 15.0, 48.0]
+    )
+    assert len(attempts) == 2 and len(sleeps) == 1
