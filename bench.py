@@ -50,7 +50,7 @@ Measurement protocol (why it is shaped this way):
   (wire.parity in the artifact).
 
 Extras cover BASELINE.md's other flagship metrics: training throughput
-(batch 64 and 128, bfloat16) and hpsearch trials/hr on a fixed 6-trial
+(batch 64 and 128, bfloat16) and hpsearch trials/hr on a fixed 5-trial
 Hyperband workload.
 """
 
@@ -378,17 +378,9 @@ def _compare_annotations(coded: Path, exact: Path) -> dict:
 
 
 def _make_recording_table(wavs: list[Path]) -> Path:
-    import pandas as pd
+    from orcai_tpu.tools.bench_common import write_recording_table
 
-    table = pd.DataFrame({
-        "recording": [w.stem for w in wavs],
-        "base_dir_recording": [str(w.parent) for w in wavs],
-        "rel_recording_path": [w.name for w in wavs],
-        "channel": [1] * len(wavs),
-    })
-    path = BENCH_DIR / "bench_table.csv"
-    table.to_csv(path, index=False)
-    return path
+    return write_recording_table(wavs, BENCH_DIR / "bench_table.csv")
 
 
 def measure_tpu_predict(model_dir: Path) -> dict:
@@ -397,12 +389,8 @@ def measure_tpu_predict(model_dir: Path) -> dict:
     Returns the fast-state batch pass (headline), a degraded-state repeat,
     and tunnel bandwidth in both states.
     """
-    import jax
-
-    from orcai_tpu.io import read_json
-    from orcai_tpu.io.model_store import load_orcai_model
-    from orcai_tpu.ops.overlap import WindowPredictor
     from orcai_tpu.pipeline.predict import _dispatch_wav, predict
+    from orcai_tpu.tools.bench_common import load_bench_predictor
     from orcai_tpu.utils import Messenger
 
     wavs = []
@@ -418,12 +406,8 @@ def measure_tpu_predict(model_dir: Path) -> dict:
     out_dir = BENCH_DIR / "bench_out"
     out_dir.mkdir(exist_ok=True)
 
-    model, variables, orcai_parameter, shape = load_orcai_model(model_dir)
-    predictor = WindowPredictor(
-        model, variables,
-        snippet_len=shape["input_shape"][0],
-        n_filters=len(orcai_parameter["model"]["filters"]),
-        batch_size=128,
+    model_dir, orcai_parameter, shape, predictor = load_bench_predictor(
+        model_dir
     )
     # warmup: dispatch the full device graph once, then force it with ONE
     # 4-byte fetch. On this backend readiness APIs (block_until_ready,
@@ -672,7 +656,7 @@ def measure_tpu_train(batch_size: int, n_batches: int = 8, epochs: int = 3) -> d
 
 
 def measure_hpsearch() -> dict:
-    """Fixed 6-trial Hyperband workload -> trials/hr (BASELINE.md metric 3)."""
+    """Fixed 5-trial Hyperband workload -> trials/hr (BASELINE.md metric 3)."""
     import shutil
     import tempfile
 

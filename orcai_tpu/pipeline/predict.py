@@ -218,6 +218,8 @@ def _dispatch_wav(
         progressbar.refresh()
 
     if _is_streaming_recording(audio.shape[-1], sp, shape):
+        import os
+
         from orcai_tpu.ops.streaming import StreamingPredictor
 
         n_frames_est = 1 + audio.shape[-1] // sp["n_overlap"]
@@ -225,6 +227,17 @@ def _dispatch_wav(
             f"Recording of {n_frames_est} frames exceeds the spectrogram HBM "
             "budget: two-pass streaming inference"
         )
+        if on_estimate is not None:
+            # the streaming path keeps the coded audio device-resident (up
+            # to its own budget) plus tile transients: flush the pending
+            # wave FIRST so peak HBM is max(wave budget, streaming
+            # residency), not their sum. audio.nbytes (int16 host buffer)
+            # bounds the coded wire size from above.
+            on_estimate(min(
+                int(audio.nbytes),
+                int(os.environ.get("ORCAI_TPU_HBM_AUDIO_BYTES",
+                                   8_000_000_000)),
+            ))
         streaming = StreamingPredictor(predictor, sp, wire=wire)
         if streaming.hi_idx - streaming.lo_idx != shape["input_shape"][1]:
             raise ValueError(

@@ -46,37 +46,21 @@ def main() -> None:
 
     repo = Path(__file__).resolve().parents[2]
     bench_dir = repo / ".bench"
-    wavs = sorted(bench_dir.glob("bench_20min_[0-9].wav"))
-    if len(wavs) < 5:
-        raise SystemExit("bench wavs missing; run `python bench.py` first")
-    wavs = wavs[:5]
 
-    import pandas as pd
-
-    from orcai_tpu.io.model_store import load_orcai_model
-    from orcai_tpu.ops.overlap import WindowPredictor
     from orcai_tpu.pipeline.predict import _dispatch_wav, predict
-    from orcai_tpu.resources import MODELS_DATA_DIR
+    from orcai_tpu.tools.bench_common import (
+        bench_wavs,
+        load_bench_predictor,
+        write_recording_table,
+    )
     from orcai_tpu.utils import Messenger
 
-    table_path = bench_dir / "ab_table.csv"
-    pd.DataFrame({
-        "recording": [w.stem for w in wavs],
-        "base_dir_recording": [str(w.parent) for w in wavs],
-        "rel_recording_path": [w.name for w in wavs],
-        "channel": [1] * len(wavs),
-    }).to_csv(table_path, index=False)
+    wavs = bench_wavs(bench_dir)
+    table_path = write_recording_table(wavs, bench_dir / "ab_table.csv")
     out_dir = bench_dir / "ab_out"
     out_dir.mkdir(exist_ok=True)
 
-    model_dir = MODELS_DATA_DIR / "orcai-v1"
-    model, variables, orcai_parameter, shape = load_orcai_model(model_dir)
-    predictor = WindowPredictor(
-        model, variables,
-        snippet_len=shape["input_shape"][0],
-        n_filters=len(orcai_parameter["model"]["filters"]),
-        batch_size=128,
-    )
+    model_dir, orcai_parameter, shape, predictor = load_bench_predictor()
     msgr = Messenger(verbosity=0)
 
     # warm + force (readiness APIs lie until the first fetch), once per

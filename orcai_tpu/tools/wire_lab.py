@@ -151,7 +151,16 @@ def _read_tsv(path: Path) -> list[tuple[float, float, str]]:
 
 
 def annotation_diff(exact: Path, coded: Path, tol_s: float = 0.5) -> dict:
-    """Interval-aware diff (same rule as bench.py's wire.parity)."""
+    """Interval-aware diff for codec SCREENING: matched / lost / extra.
+
+    NOT the same rule as bench.py's wire.parity: bench classifies into
+    exact-identical rows + boundary-shifted (endpoints within 2 aggregation
+    rows ~0.17 s) + residuals, for auditing the shipped codec at fine grain;
+    this lab diff uses a single coarser endpoint tolerance (default 0.5 s)
+    because candidate screening only needs "is the call still detected
+    roughly where it was". Counts from the two tools are therefore not
+    directly comparable.
+    """
     ea, ca = _read_tsv(exact), _read_tsv(coded)
 
     def match(a, pool):

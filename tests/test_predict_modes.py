@@ -311,6 +311,61 @@ def test_batch_waves_match_single_file_predicts(
         assert batch_tsv == single_out.read_text()
 
 
+def test_streaming_branch_flushes_wave_first(model_dir, tmp_path, monkeypatch):
+    """A streaming-path recording must fire on_estimate BEFORE any streaming
+    device work so the batch wave flushes first — otherwise the pending
+    wave's spectrogram buffers stay HBM-resident UNDER the streaming
+    predictor's own multi-GB audio budget and peak memory is their sum
+    (regression: the streaming branch returned est_bytes=0 and never called
+    on_estimate at all)."""
+    import orcai_tpu.ops.streaming as streaming_mod
+    from orcai_tpu.io.model_store import load_orcai_model
+    from orcai_tpu.ops.overlap import WindowPredictor
+    from orcai_tpu.pipeline.predict import _dispatch_wav
+
+    wav = tmp_path / "s.wav"
+    _write_recording(wav, seconds=6.0, seed=42)
+
+    model, variables, param, shape = load_orcai_model(model_dir)
+    predictor = WindowPredictor(
+        model, variables, snippet_len=shape["input_shape"][0],
+        n_filters=len(param["model"]["filters"]), batch_size=8,
+    )
+
+    events = []
+
+    class StubStreaming:
+        def __init__(self, predictor, sp, wire=None):
+            events.append("streaming_init")
+            n_bins = shape["input_shape"][1]
+            self.lo_idx, self.hi_idx = 0, n_bins
+
+        def aggregate(self, audio):
+            events.append("streaming_aggregate")
+            return np.zeros((4, 2), np.float32), np.ones(4, np.float32)
+
+    monkeypatch.setattr(streaming_mod, "StreamingPredictor", StubStreaming)
+    monkeypatch.setattr(
+        "orcai_tpu.pipeline.predict._is_streaming_recording",
+        lambda n_samples, sp, shape: True,
+    )
+
+    disp = _dispatch_wav(
+        wav, 1, predictor, param, shape,
+        msgr=Messenger(verbosity=0),
+        on_estimate=lambda est: events.append(("estimate", est)),
+    )
+    assert disp["mode"] == "host"
+    assert events[0][0] == "estimate", events
+    # the estimate is the int16 audio bound (capped at the streaming audio
+    # budget), which upper-bounds the coded wire residency
+    n_samples = int(6.0 * SR)
+    assert events[0][1] == 2 * n_samples
+    assert events.index(("estimate", 2 * n_samples)) < events.index(
+        "streaming_init"
+    )
+
+
 def test_output_path_none_means_default(model_dir, tmp_path):
     """output_path=None saves next to the recording under the default name
     (regression: it used to run the full pipeline and silently discard the
