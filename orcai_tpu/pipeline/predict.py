@@ -525,7 +525,18 @@ def predict(
     (tests/test_wire_codec.py, tests/test_spectral.py, PERFORMANCE.md wire
     lab); None/"auto" -> ORCAI_TPU_WIRE env var, else sp-bfp5 on TPU and
     exact elsewhere (sp-bfp6 remains opt-in for more SNR headroom).
+
+    ORCAI_TPU_PREDICT_DTYPE=bf16 runs the CRNN forward in bfloat16
+    (parameters stay float32): ~16% off the per-recording device compute
+    on TPU with annotation-identical output on the bench recordings and
+    the golden fixture (max aggregated-probability shift ~6e-3 — an order
+    below the 0.5/overlap decision threshold's margin on real calls;
+    PERFORMANCE.md "Compute floor"). Off by default: the flagship path is
+    transfer-bound, so the default favors bit-stable f32 numerics; the
+    flag matters on compute-bound (PCIe-attached) deployments.
     """
+    import os
+
     if msgr is None:
         msgr = Messenger(verbosity=verbosity, title="Predicting calls")
 
@@ -537,7 +548,18 @@ def predict(
     recording_path = Path(recording_path)
     msgr.part(f"Loading model: {model_dir.stem}")
 
-    model, variables, orcai_parameter, shape = load_orcai_model(model_dir)
+    import jax.numpy as jnp
+
+    predict_dtype = os.environ.get("ORCAI_TPU_PREDICT_DTYPE", "f32")
+    if predict_dtype not in ("f32", "bf16"):
+        raise ValueError(
+            f"ORCAI_TPU_PREDICT_DTYPE must be f32 or bf16, got "
+            f"{predict_dtype!r}"
+        )
+    model, variables, orcai_parameter, shape = load_orcai_model(
+        model_dir,
+        dtype=jnp.bfloat16 if predict_dtype == "bf16" else jnp.float32,
+    )
 
     if predictor is None:
         # shard inference windows over all visible chips (SURVEY §5.7); a

@@ -34,21 +34,28 @@ def write_recording_table(wavs: list[Path], path: Path | str) -> Path:
     return Path(path)
 
 
-def load_bench_predictor(model_dir: Path | None = None, batch_size: int = 128):
+def load_bench_predictor(
+    model_dir: Path | None = None, batch_size: int = 128, dtype=None
+):
     """(model_dir, orcai_parameter, shape, predictor) as bench.py times them.
 
     The WindowPredictor is constructed but NOT warmed: which programs a tool
     must force-load before timing differs per tool (bench forces the default
     wire's graph; wire_ab_probe forces one graph per codec; fused_fetch_ab
-    forces both fetch paths), so warmup stays with the caller.
+    forces both fetch paths), so warmup stays with the caller. `dtype`
+    overrides the CRNN compute dtype (None = float32, the predict default).
     """
+    import jax.numpy as jnp
+
     from orcai_tpu.io.model_store import load_orcai_model
     from orcai_tpu.ops.overlap import WindowPredictor
     from orcai_tpu.resources import MODELS_DATA_DIR
 
     if model_dir is None:
         model_dir = MODELS_DATA_DIR / "orcai-v1"
-    model, variables, orcai_parameter, shape = load_orcai_model(model_dir)
+    model, variables, orcai_parameter, shape = load_orcai_model(
+        model_dir, dtype=jnp.float32 if dtype is None else dtype
+    )
     predictor = WindowPredictor(
         model, variables,
         snippet_len=shape["input_shape"][0],

@@ -19,8 +19,10 @@ remote-dispatch backend each pass still pays the per-program-call RPC
 floor (~29 ms/call, PERFORMANCE.md), so the median here is an UPPER bound
 on the PCIe-attached compute cost.
 
-Usage: python -m orcai_tpu.tools.compute_floor_probe [n_passes]
-Requires the bench wavs (run `python bench.py` once to create them).
+Usage: python -m orcai_tpu.tools.compute_floor_probe [n_passes [dtype]]
+where dtype is f32 (default) or bf16 (the ORCAI_TPU_PREDICT_DTYPE=bf16
+inference path). Requires the bench wavs (run `python bench.py` once to
+create them).
 """
 
 from __future__ import annotations
@@ -35,6 +37,7 @@ import numpy as np
 
 def main() -> None:
     n_passes = int(sys.argv[1]) if len(sys.argv) >= 2 else 7
+    dtype_name = sys.argv[2] if len(sys.argv) >= 3 else "f32"
 
     repo = Path(__file__).resolve().parents[2]
     bench_dir = repo / ".bench"
@@ -53,7 +56,9 @@ def main() -> None:
     from orcai_tpu.tools.bench_common import bench_wavs, load_bench_predictor
 
     wav = bench_wavs(bench_dir, 1)[0]
-    model_dir, orcai_parameter, shape, predictor = load_bench_predictor()
+    model_dir, orcai_parameter, shape, predictor = load_bench_predictor(
+        dtype={"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype_name]
+    )
     sp = orcai_parameter["spectrogram"]
 
     audio, _ = load_wav_for_frontend(wav, sr=sp["sampling_rate"], channel=1)
@@ -145,6 +150,7 @@ def main() -> None:
         "summary": {
             "recording_s": round(seconds, 1),
             "wire": wire_name,
+            "predict_dtype": dtype_name,
             "tile_plan": {"tile": tile, "n_real": n_real, "n_tiles": n_tiles},
             "resident_coded_mb": round(resident_mb, 1),
             "compute_wall_s_median": round(med, 3),

@@ -61,3 +61,37 @@ def test_detection_quality_vs_truth(predictions):
 
     precise = sum(overlaps(p, truth) for _, p in pred.iterrows())
     assert precise / len(pred) >= 0.7, f"precision {precise}/{len(pred)}"
+
+
+def test_bf16_inference_matches_golden_tsv(tmp_path, monkeypatch):
+    """ORCAI_TPU_PREDICT_DTYPE=bf16 (the compute-bound-deployment option:
+    CRNN forward in bfloat16, float32 parameters) must stay annotation-level
+    exact on the golden fixture — here it is byte-identical, matching the
+    on-chip measurement on a 20-min bench recording (70/70 identical
+    annotations, max aggregated-probability shift ~6e-3; PERFORMANCE.md
+    "Compute floor")."""
+    monkeypatch.setenv("ORCAI_TPU_PREDICT_DTYPE", "bf16")
+    out = tmp_path / "pred_bf16.txt"
+    predict(
+        FIXTURES / "golden.wav",
+        model_dir=MODELS_DATA_DIR / "orcai-v1",
+        output_path=out,
+        overwrite=True,
+        msgr=Messenger(verbosity=0),
+        verbosity=0,
+        predict_batch_size=16,
+    )
+    assert out.read_text() == (FIXTURES / "golden_expected.txt").read_text()
+
+
+def test_invalid_predict_dtype_rejected(tmp_path, monkeypatch):
+    monkeypatch.setenv("ORCAI_TPU_PREDICT_DTYPE", "fp8")
+    with pytest.raises(ValueError, match="ORCAI_TPU_PREDICT_DTYPE"):
+        predict(
+            FIXTURES / "golden.wav",
+            model_dir=MODELS_DATA_DIR / "orcai-v1",
+            output_path=tmp_path / "x.txt",
+            overwrite=True,
+            msgr=Messenger(verbosity=0),
+            verbosity=0,
+        )
