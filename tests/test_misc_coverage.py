@@ -332,19 +332,28 @@ def test_bench_degraded_link_retry():
     assert len(attempts) == 2 and len(sleeps) == 1 and len(bw) == 3
     assert attempts[-1] == [3.7] * 5
 
-    # persistent degradation with healthy probes: capped at 2 retries
+    # persistent degradation with healthy probes: capped at 3 retries
     attempts, bw, sleeps = run(
-        [[5.5] * 5] * 3, [44.0, 44.0, 44.0, 44.0]
+        [[5.5] * 5] * 4, [44.0] * 5
     )
-    assert len(attempts) == 3 and len(sleeps) == 2 and len(bw) == 4
+    assert len(attempts) == 4 and len(sleeps) == 3 and len(bw) == 5
 
     # uniformly slow link (attempt matches ITS floor, but no probe ever
     # reached the healthy band): still retries, hoping for recovery
     attempts, bw, sleeps = run(
-        [[9.5] * 5, [9.5] * 5, [9.5] * 5],
+        [[9.5] * 5] * 4,
         itertools.repeat(15.0),
     )
-    assert len(attempts) == 3 and len(sleeps) == 2
+    assert len(attempts) == 4 and len(sleeps) == 3
+
+    # the r3_run15 shape: a mediocre 37 MB/s phase, median 1.37x the floor
+    # (utilization 0.73) — both gates fire; a healthy second attempt stops
+    attempts, bw, sleeps = run(
+        [[6.28, 5.41, 4.99, 4.61, 4.98], [2.96] * 5],
+        [37.6, 36.0, 47.5],
+    )
+    assert len(attempts) == 2 and len(sleeps) == 1
+    assert attempts[-1] == [2.96] * 5
 
     # recovery via the bw gate: link comes back healthy AND the new attempt
     # sits at the healthy floor -> stops after the first retry
