@@ -54,3 +54,45 @@ def make_hybrid_mesh(ici_data: int | None = None, dcn_data: int | None = None):
         dcn_mesh_shape=(dcn_data,),
     )
     return Mesh(devices.reshape(dcn_data * ici_data, 1), ("data", "model"))
+
+
+def process_partition(
+    n: int, process_id: int | None = None, process_count: int | None = None
+) -> list[int]:
+    """Round-robin share of n independent work items owned by this process.
+
+    Deterministic in (process_id, process_count): every host computes the
+    same assignment from the same inputs without communicating. Defaults
+    read jax.process_index()/process_count(), so single-process runs get
+    range(n) unchanged.
+    """
+    if process_id is None:
+        process_id = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    return [i for i in range(n) if i % process_count == process_id]
+
+
+def shard_table_for_process(table, msgr=None):
+    """This process's rows of a per-recording work table (positional split).
+
+    The multi-host equivalent of the reference's REMOVED predict
+    multiprocessing ("remove multiprocessing from predict. It wasn't
+    working", reference CHANGELOG.md:402; SURVEY §2 names per-recording
+    fan-out across hosts as the TPU-native replacement): the batch drivers
+    (create-spectrograms, create-label-arrays, batch predict) process
+    independent per-recording files, so launching the same command on every
+    host of a pod slice splits the table round-robin with no rendezvous
+    beyond the shared filesystem. Single-process runs return the table
+    unchanged.
+    """
+    count = jax.process_count()
+    if count <= 1 or len(table) == 0:
+        return table
+    rows = process_partition(len(table))
+    if msgr is not None:
+        msgr.info(
+            f"Multi-host run: process {jax.process_index()}/{count} owns "
+            f"{len(rows)} of {len(table)} recordings"
+        )
+    return table.iloc[rows]

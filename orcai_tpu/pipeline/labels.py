@@ -134,6 +134,14 @@ def create_label_arrays(
         orcai_parameter = read_json(orcai_parameter)
     label_calls = orcai_parameter["calls"]
 
+    # multi-host pods: round-robin share of the independent per-recording
+    # label arrays (parallel/distributed.py); single-process unchanged.
+    # Sharded BEFORE the on-disk skip-existing filter so ownership is a
+    # pure function of the table, not of what other hosts already wrote
+    from orcai_tpu.parallel.distributed import shard_table_for_process
+
+    recording_table = shard_table_for_process(recording_table, msgr)
+
     if not overwrite:
         existing = recording_table["recording"].apply(
             lambda x: output_dir.joinpath(x, "labels").exists()

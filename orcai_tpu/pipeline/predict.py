@@ -617,6 +617,14 @@ def predict(
     else:
         recording_table["output_path"] = output_path
 
+    # multi-host pods: each process predicts a round-robin share of the
+    # table's independent recordings (parallel/distributed.py — the
+    # TPU-native replacement for the reference's removed predict
+    # multiprocessing); single-process runs pass through unchanged
+    from orcai_tpu.parallel.distributed import shard_table_for_process
+
+    recording_table = shard_table_for_process(recording_table, msgr)
+
     msgr.part(f"Predicting annotations for {len(recording_table)} wav files")
     progressbar = tqdm(
         recording_table.index, desc="Starting ...", unit="file",

@@ -160,6 +160,16 @@ def create_spectrograms(
             )
             recording_table = recording_table[is_included]
 
+    # multi-host pods: each process takes a round-robin share of the
+    # independent per-recording outputs (parallel/distributed.py);
+    # single-process runs pass through unchanged. Sharding happens BEFORE
+    # the on-disk skip-existing filter: content-based filters above are
+    # deterministic on every host, disk state is not — ownership must not
+    # shift with what other processes have already written
+    from orcai_tpu.parallel.distributed import shard_table_for_process
+
+    recording_table = shard_table_for_process(recording_table, msgr)
+
     if not overwrite:
         existing = recording_table["recording"].apply(
             lambda x: output_dir.joinpath(x, "spectrogram").exists()

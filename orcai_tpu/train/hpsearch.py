@@ -98,7 +98,9 @@ def process_trial_partition(
     same assignment from the same Hyperband schedule without communicating
     (SURVEY §2: hpsearch fans independent trials across pod-slice hosts).
     """
-    return [i for i in range(n_submissions) if i % process_count == process_id]
+    from orcai_tpu.parallel.distributed import process_partition
+
+    return process_partition(n_submissions, process_id, process_count)
 
 
 def local_device_ranks(indices) -> dict[int, int]:
