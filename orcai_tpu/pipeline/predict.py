@@ -297,6 +297,27 @@ def _dispatch_wav(
     }
 
 
+def resolve_predict_dtype():
+    """CRNN inference compute dtype from ORCAI_TPU_PREDICT_DTYPE.
+
+    "f32" (default) or "bf16" (parameters stay float32 either way). The
+    bf16 path is for compute-bound deployments: measured ~16% off the
+    per-recording device compute with annotation-identical output on the
+    bench recordings and golden fixture (PERFORMANCE.md "Compute floor").
+    Shared by predict() and the serve watcher so one env var governs both.
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    name = os.environ.get("ORCAI_TPU_PREDICT_DTYPE", "f32")
+    if name not in ("f32", "bf16"):
+        raise ValueError(
+            f"ORCAI_TPU_PREDICT_DTYPE must be f32 or bf16, got {name!r}"
+        )
+    return jnp.bfloat16 if name == "bf16" else jnp.float32
+
+
 def _finish_wav(
     disp: dict,
     predictor: WindowPredictor,
@@ -535,8 +556,6 @@ def predict(
     transfer-bound, so the default favors bit-stable f32 numerics; the
     flag matters on compute-bound (PCIe-attached) deployments.
     """
-    import os
-
     if msgr is None:
         msgr = Messenger(verbosity=verbosity, title="Predicting calls")
 
@@ -548,17 +567,8 @@ def predict(
     recording_path = Path(recording_path)
     msgr.part(f"Loading model: {model_dir.stem}")
 
-    import jax.numpy as jnp
-
-    predict_dtype = os.environ.get("ORCAI_TPU_PREDICT_DTYPE", "f32")
-    if predict_dtype not in ("f32", "bf16"):
-        raise ValueError(
-            f"ORCAI_TPU_PREDICT_DTYPE must be f32 or bf16, got "
-            f"{predict_dtype!r}"
-        )
     model, variables, orcai_parameter, shape = load_orcai_model(
-        model_dir,
-        dtype=jnp.bfloat16 if predict_dtype == "bf16" else jnp.float32,
+        model_dir, dtype=resolve_predict_dtype()
     )
 
     if predictor is None:

@@ -109,9 +109,14 @@ def serve(
     from orcai_tpu.io.model_store import load_orcai_model
     from orcai_tpu.ops.overlap import WindowPredictor
     from orcai_tpu.parallel.mesh import make_mesh
-    from orcai_tpu.pipeline.predict import _predict_and_save
+    from orcai_tpu.pipeline.predict import (
+        _predict_and_save,
+        resolve_predict_dtype,
+    )
 
-    model, variables, orcai_parameter, shape = load_orcai_model(model_dir)
+    model, variables, orcai_parameter, shape = load_orcai_model(
+        model_dir, dtype=resolve_predict_dtype()
+    )
     n_devices = len(jax.devices())
     predictor = WindowPredictor(
         model,
