@@ -49,6 +49,10 @@ Measurement protocol (why it is shaped this way):
   re-verifies annotation-level parity: one recording is re-predicted with
   the exact int16 wire and its output TSV diffed against the coded-wire one
   (wire.parity in the artifact).
+- `compute_floor` in the artifact is the same pipeline timed with the
+  coded audio pre-staged in HBM (tools/compute_floor_probe.py) — the
+  per-recording device cost a PCIe-attached host would pay, in f32 and
+  the opt-in bf16 inference dtype.
 
 Extras cover BASELINE.md's other flagship metrics: training throughput
 (batch 64 and 128, bfloat16) and hpsearch trials/hr on a fixed 5-trial
@@ -814,6 +818,20 @@ def main() -> None:
         report["transfer_floor"] = predict_result["transfer_floor"]
     except Exception as exc:  # noqa: BLE001 — degraded artifact beats none
         report["error"] = f"tpu predict phase failed: {exc!r}"
+
+    # compute floor: the same pipeline timed with the coded audio already
+    # HBM-resident (zero link bytes in the timed region) — what the
+    # transfer-bound headline would cost on a PCIe-attached host, in f32
+    # and the opt-in bf16 inference dtype (ORCAI_TPU_PREDICT_DTYPE)
+    try:
+        from orcai_tpu.tools.compute_floor_probe import measure as _floor
+
+        report["compute_floor"] = {
+            "f32": _floor(5, "f32"),
+            "bf16": _floor(5, "bf16"),
+        }
+    except Exception as exc:  # noqa: BLE001
+        report["compute_floor"] = {"error": f"floor probe failed: {exc!r}"}
 
     try:
         train64 = measure_tpu_train(64)

@@ -35,10 +35,14 @@ from pathlib import Path
 import numpy as np
 
 
-def main() -> None:
-    n_passes = int(sys.argv[1]) if len(sys.argv) >= 2 else 7
-    dtype_name = sys.argv[2] if len(sys.argv) >= 3 else "f32"
+def measure(n_passes: int = 7, dtype_name: str = "f32",
+            on_pass=None) -> dict:
+    """Run the probe and return the summary dict (see module docstring).
 
+    `on_pass(i, wall_s)` fires after each timed pass (the CLI prints a
+    JSON line; bench.py passes None and embeds the summary in the official
+    artifact's `compute_floor` field).
+    """
     repo = Path(__file__).resolve().parents[2]
     bench_dir = repo / ".bench"
 
@@ -143,25 +147,36 @@ def main() -> None:
         t0 = time.time()
         device_pass()
         walls.append(time.time() - t0)
-        print(json.dumps({"pass": i, "wall_s": round(walls[-1], 3)}), flush=True)
+        if on_pass is not None:
+            on_pass(i, walls[-1])
 
     med = float(np.median(walls))
-    print(json.dumps({
-        "summary": {
-            "recording_s": round(seconds, 1),
-            "wire": wire_name,
-            "predict_dtype": dtype_name,
-            "tile_plan": {"tile": tile, "n_real": n_real, "n_tiles": n_tiles},
-            "resident_coded_mb": round(resident_mb, 1),
-            "compute_wall_s_median": round(med, 3),
-            "compute_wall_s_runs": [round(w, 3) for w in walls],
-            "rec_hr_per_min_compute_only": round(
-                (seconds / 3600) / (med / 60), 2
-            ),
-            "note": "upper bound on PCIe-attached compute cost: each pass "
-            "still pays the remote backend's per-program-call RPC floor",
-        }
-    }, ))
+    return {
+        "recording_s": round(seconds, 1),
+        "wire": wire_name,
+        "predict_dtype": dtype_name,
+        "tile_plan": {"tile": tile, "n_real": n_real, "n_tiles": n_tiles},
+        "resident_coded_mb": round(resident_mb, 1),
+        "compute_wall_s_median": round(med, 3),
+        "compute_wall_s_runs": [round(w, 3) for w in walls],
+        "rec_hr_per_min_compute_only": round(
+            (seconds / 3600) / (med / 60), 2
+        ),
+        "note": "upper bound on PCIe-attached compute cost: each pass "
+        "still pays the remote backend's per-program-call RPC floor",
+    }
+
+
+def main() -> None:
+    n_passes = int(sys.argv[1]) if len(sys.argv) >= 2 else 7
+    dtype_name = sys.argv[2] if len(sys.argv) >= 3 else "f32"
+    summary = measure(
+        n_passes, dtype_name,
+        on_pass=lambda i, w: print(
+            json.dumps({"pass": i, "wall_s": round(w, 3)}), flush=True
+        ),
+    )
+    print(json.dumps({"summary": summary}))
 
 
 if __name__ == "__main__":
