@@ -174,9 +174,78 @@ class ResNet1DConv(nn.Module):
         return logits if return_logits else nn.sigmoid(logits)
 
 
+class ResNetTCN(nn.Module):
+    """Conv-ResNet trunk + dilated temporal-conv head (TPU-native extension).
+
+    No upstream equivalent (the reference's two heads either scan
+    sequentially — BiLSTM, architectures.py:210-229 — or see one fixed
+    receptive field — Conv1D, architectures.py:109-115). The TCN head
+    covers the full 46-step output sequence with purely parallel ops: a
+    channel projection, then residual [relu -> dilated Conv1D -> BN ->
+    dropout] blocks at dilations 1/2/4/8/16 (receptive field 1 + 2*31 = 63
+    frames > 46), then the same dense head as ResNetLSTM. Everything maps
+    to the MXU with no lax.scan, so training steps avoid the LSTM's
+    sequential dependency chain. Reuses the `lstm_units` schema key as the
+    TCN channel width — the parameter JSON schema is a preserved contract,
+    so no new key is introduced.
+    """
+
+    num_labels: int
+    filters: Sequence[int] = (30, 40, 50, 60)
+    kernel_size: int = 3
+    dropout_rate: float = 0.5
+    lstm_units: int = 128  # TCN channel width (schema-compatible name)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_logits: bool = False):
+        x = ResNetTrunk(
+            self.filters, self.kernel_size, dtype=self.dtype, name="trunk"
+        )(x, train=train)
+
+        b, t, f, c = x.shape
+        x = x.reshape(b, t, f * c)
+        x = nn.Dense(self.lstm_units, dtype=self.dtype, name="proj")(x)
+
+        for i, dilation in enumerate((1, 2, 4, 8, 16)):
+            y = nn.relu(x)
+            y = nn.Conv(
+                self.lstm_units,
+                (3,),
+                kernel_dilation=(dilation,),
+                padding="SAME",
+                dtype=self.dtype,
+                name=f"tcn{i}_conv",
+            )(y)
+            y = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.99,
+                epsilon=1e-3,
+                dtype=self.dtype,
+                name=f"tcn{i}_bn",
+            )(y)
+            y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+            x = x + y
+
+        x = nn.Dense(128, dtype=self.dtype, name="dense")(x)
+        x = nn.relu(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.99,
+            epsilon=1e-3,
+            dtype=self.dtype,
+            name="dense_bn",
+        )(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        logits = nn.Dense(self.num_labels, dtype=self.dtype, name="out")(x)
+        logits = logits.astype(jnp.float32)
+        return logits if return_logits else nn.sigmoid(logits)
+
+
 ORCAI_ARCHITECTURES = {
     "ResNetLSTM": ResNetLSTM,
     "ResNet1DConv": ResNet1DConv,
+    "ResNetTCN": ResNetTCN,
 }
 
 
@@ -194,7 +263,7 @@ def build_model(orcai_parameter: dict, dtype: Dtype = jnp.float32):
         dropout_rate=mp["dropout_rate"],
         dtype=dtype,
     )
-    if arch == "ResNetLSTM":
+    if arch in ("ResNetLSTM", "ResNetTCN"):
         kwargs["lstm_units"] = mp["lstm_units"]
     return ORCAI_ARCHITECTURES[arch](**kwargs)
 
