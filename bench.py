@@ -73,12 +73,16 @@ from pathlib import Path
 
 import numpy as np
 
+from orcai_tpu.tools.bench_common import (  # noqa: E402 — light import
+    BENCH_MINUTES,
+    N_RECORDINGS,
+    bench_wav_name,
+)
+
 REPO = Path(__file__).resolve().parent
 BENCH_DIR = REPO / ".bench"
 BENCH_DIR.mkdir(exist_ok=True)
 SR = 48000
-BENCH_MINUTES = 20
-N_RECORDINGS = 5
 BASELINE_MINUTES = 5
 
 
@@ -407,11 +411,11 @@ def measure_tpu_predict(model_dir: Path) -> dict:
 
     wavs = []
     for i in range(N_RECORDINGS):
-        w = BENCH_DIR / f"bench_{BENCH_MINUTES}min_{i}.wav"
+        w = BENCH_DIR / bench_wav_name(i)
         if not w.exists():
             synth_wav(w, BENCH_MINUTES * 60, seed=i)
         wavs.append(w)
-    warm_wav = BENCH_DIR / f"bench_{BENCH_MINUTES}min_warm.wav"
+    warm_wav = BENCH_DIR / bench_wav_name("warm")
     if not warm_wav.exists():
         synth_wav(warm_wav, BENCH_MINUTES * 60, seed=99)
     table = _make_recording_table(wavs)
@@ -489,7 +493,7 @@ def measure_tpu_predict(model_dir: Path) -> dict:
     #   TRANSIENT clustered ~15 MB/s plateau (r3_run8 vs r3_run9).
     # - attempts_until_link_healthy: when an attempt's median implies a
     #   link rate far below the best probed rate (or the link never probed
-    #   healthy at all), cool down and re-attempt, up to 2 retries — the
+    #   healthy at all), cool down and re-attempt, up to 3 retries — the
     #   SUSTAINED mid-run degradation (r3_run12: probes 44 -> 15 MB/s).
     # Every pass of every attempt and every probe lands in the artifact;
     # the headline is the median of the best attempt — the steady state

@@ -346,6 +346,58 @@ def _audio_tile_chunk(audio: np.ndarray, t: int, tile: int, n_fft: int, hop: int
     return chunk
 
 
+def prepare_wire_audio(
+    audio: np.ndarray,
+    sampling_rate: int,
+    n_fft: int,
+    hop_length: int,
+    freq_range,
+    wire: str | None,
+) -> tuple[np.ndarray, int, int, int, str, int]:
+    """Host-side wire prelude shared by the production frontend and probes.
+
+    Resolves the wire, applies the spectral 3/4 resample when the geometry
+    allows, and puts the audio in the exact byte form the per-chunk staging
+    expects. ONE definition: tools/compute_floor_probe stages the identical
+    bytes this produces, so its "same pipeline" claim cannot drift from
+    compute_spectrogram_device. Returns
+    (audio, sampling_rate, n_fft, hop_length, effective_wire, bfp_bits).
+    """
+    audio = np.asarray(audio)
+    if audio.dtype not in (np.float32, np.int16):
+        audio = audio.astype(np.float32)
+    if audio.ndim != 1:
+        raise ValueError("compute_spectrogram expects mono audio (n,)")
+    wire = resolve_wire(wire)
+    spectral_base = spectral_wire_base(wire)
+    if spectral_base is not None:
+        # spectral wire (ops/spectral.py): resample 3/4 on host and run the
+        # identical frontend at the scaled geometry — same bin spacing, same
+        # frame times, same frame count, same crop indices; the constant
+        # amplitude scale cancels through the normalize chain. 25% fewer
+        # samples then cross the link through the base codec. Geometries
+        # that cannot hold the grid run the base codec at the native rate.
+        from orcai_tpu.ops.spectral import spectral_downsample
+
+        ds = spectral_downsample(
+            audio, sampling_rate, n_fft, hop_length, freq_range
+        )
+        wire = spectral_base
+        if ds is not None:
+            audio, sampling_rate, n_fft, hop_length = ds
+    bfp_bits = wire_bfp_bits(wire)
+    if wire == "mulaw8":
+        # one LUT pass on host (~600 MB/s); downstream the uint8 dtype IS
+        # the wire marker — raw uint8 PCM never reaches the device paths
+        # (it is widened to float32 above / in io.wav before this point)
+        audio = mulaw_encode(audio)
+    elif bfp_bits:
+        # bfp encodes per chunk at staging time; round float input to int16
+        # once so chunk encodes are cheap slices of an integer buffer
+        audio = round_to_int16(audio)
+    return audio, sampling_rate, n_fft, hop_length, wire, bfp_bits
+
+
 def compute_spectrogram_device(
     audio: np.ndarray,
     sampling_rate: int,
@@ -371,43 +423,16 @@ def compute_spectrogram_device(
     on device; None/"auto" resolves via ORCAI_TPU_WIRE, defaulting to sp-bfp5
     on TPU.
     """
-    audio = np.asarray(audio)
-    if audio.dtype not in (np.float32, np.int16):
-        audio = audio.astype(np.float32)
-    if audio.ndim != 1:
-        raise ValueError("compute_spectrogram expects mono audio (n,)")
-    wire = resolve_wire(wire)
     # the returned frequency vector is a CONTRACT: the uncropped spectrum of
     # the caller's native geometry (what the reference passes around and
     # pipeline/spectrogram.py persists as frequencies.json), independent of
     # any internal geometry a spectral wire runs the DFT at
     native_sr, native_n_fft = sampling_rate, n_fft
-    spectral_base = spectral_wire_base(wire)
-    if spectral_base is not None:
-        # spectral wire (ops/spectral.py): resample 3/4 on host and run the
-        # identical frontend at the scaled geometry — same bin spacing, same
-        # frame times, same frame count, same crop indices; the constant
-        # amplitude scale cancels through the normalize chain. 25% fewer
-        # samples then cross the link through the base codec. Geometries
-        # that cannot hold the grid run the base codec at the native rate.
-        from orcai_tpu.ops.spectral import spectral_downsample
-
-        ds = spectral_downsample(
-            audio, sampling_rate, n_fft, hop_length, freq_range
+    audio, sampling_rate, n_fft, hop_length, wire, bfp_bits = (
+        prepare_wire_audio(
+            audio, sampling_rate, n_fft, hop_length, freq_range, wire
         )
-        wire = spectral_base
-        if ds is not None:
-            audio, sampling_rate, n_fft, hop_length = ds
-    bfp_bits = wire_bfp_bits(wire)
-    if wire == "mulaw8":
-        # one LUT pass on host (~600 MB/s); downstream the uint8 dtype IS
-        # the wire marker — raw uint8 PCM never reaches the device paths
-        # (it is widened to float32 above / in io.wav before this point)
-        audio = mulaw_encode(audio)
-    elif bfp_bits:
-        # bfp encodes per chunk below; round float input to int16 once so
-        # chunk encodes are cheap slices of an integer buffer
-        audio = round_to_int16(audio)
+    )
     n = audio.shape[0]
     n_frames = 1 + n // hop_length
 

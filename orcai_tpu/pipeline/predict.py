@@ -572,14 +572,26 @@ def predict(
     )
 
     if predictor is None:
-        # shard inference windows over all visible chips (SURVEY §5.7); a
-        # single chip keeps the annotation-free fast path
+        # shard inference windows over the visible chips (SURVEY §5.7); a
+        # single chip keeps the annotation-free fast path. In a multi-host
+        # run the recording table is partitioned per process
+        # (shard_table_for_process below), so each process dispatches
+        # DIFFERENT recordings — the window mesh must span only the
+        # process's LOCAL chips: a global mesh would device_put variables
+        # onto non-addressable devices and desync the processes' programs
         import jax
 
         from orcai_tpu.parallel.mesh import make_mesh
 
-        n_devices = len(jax.devices())
-        mesh = make_mesh(n_data=n_devices) if n_devices > 1 else None
+        devices = (
+            jax.local_devices() if jax.process_count() > 1 else jax.devices()
+        )
+        n_devices = len(devices)
+        mesh = (
+            make_mesh(n_data=n_devices, devices=devices)
+            if n_devices > 1
+            else None
+        )
         if mesh is not None:
             msgr.info(f"Sharding inference windows over {n_devices} devices")
         predictor = WindowPredictor(

@@ -117,14 +117,21 @@ def serve(
     model, variables, orcai_parameter, shape = load_orcai_model(
         model_dir, dtype=resolve_predict_dtype()
     )
-    n_devices = len(jax.devices())
+    # multi-process launches watch independent folders/files per process;
+    # the window mesh must span only LOCAL chips (see pipeline/predict.py)
+    devices = jax.local_devices() if jax.process_count() > 1 else jax.devices()
+    n_devices = len(devices)
     predictor = WindowPredictor(
         model,
         variables,
         snippet_len=shape["input_shape"][0],
         n_filters=len(orcai_parameter["model"]["filters"]),
         batch_size=predict_batch_size,
-        mesh=make_mesh(n_data=n_devices) if n_devices > 1 else None,
+        mesh=(
+            make_mesh(n_data=n_devices, devices=devices)
+            if n_devices > 1
+            else None
+        ),
     )
 
     if warm_minutes > 0:

@@ -12,10 +12,21 @@ from __future__ import annotations
 
 from pathlib import Path
 
+# the flagship workload: N_RECORDINGS distinct BENCH_MINUTES-minute
+# recordings. Defined HERE (not in bench.py) so the probes' glob and the
+# bench's synth filenames can never drift apart.
+BENCH_MINUTES = 20
+N_RECORDINGS = 5
 
-def bench_wavs(bench_dir: Path | str, n: int = 5) -> list[Path]:
-    """The n canonical 20-min bench recordings (created by `python bench.py`)."""
-    wavs = sorted(Path(bench_dir).glob("bench_20min_[0-9].wav"))
+
+def bench_wav_name(i: int | str) -> str:
+    """Filename of the i-th flagship bench recording."""
+    return f"bench_{BENCH_MINUTES}min_{i}.wav"
+
+
+def bench_wavs(bench_dir: Path | str, n: int = N_RECORDINGS) -> list[Path]:
+    """The n canonical bench recordings (created by `python bench.py`)."""
+    wavs = sorted(Path(bench_dir).glob(bench_wav_name("[0-9]")))
     if len(wavs) < n:
         raise SystemExit("bench wavs missing; run `python bench.py` first")
     return wavs[:n]

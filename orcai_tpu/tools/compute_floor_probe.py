@@ -50,13 +50,7 @@ def measure(n_passes: int = 7, dtype_name: str = "f32",
 
     from orcai_tpu.io.wav import load_wav_for_frontend
     from orcai_tpu.ops import frontend as fe
-    from orcai_tpu.ops.spectral import spectral_downsample
-    from orcai_tpu.ops.wire_codec import (
-        bfp_encode_wire,
-        resolve_wire,
-        spectral_wire_base,
-        wire_bfp_bits,
-    )
+    from orcai_tpu.ops.wire_codec import bfp_encode_wire, resolve_wire
     from orcai_tpu.tools.bench_common import bench_wavs, load_bench_predictor
 
     wav = bench_wavs(bench_dir, 1)[0]
@@ -68,22 +62,17 @@ def measure(n_passes: int = 7, dtype_name: str = "f32",
     audio, _ = load_wav_for_frontend(wav, sr=sp["sampling_rate"], channel=1)
     seconds = audio.shape[-1] / sp["sampling_rate"]
 
-    # host prep identical to compute_spectrogram_device, except every coded
+    # host prep IS the production prelude (fe.prepare_wire_audio — one
+    # definition, so the probe's byte form can never drift from
+    # compute_spectrogram_device); the only difference is that every coded
     # chunk is staged on device UP FRONT instead of interleaved with the
-    # tile DFTs (the production path interleaves on purpose — here the point
-    # is to take the upload out of the timed region entirely)
-    wire = resolve_wire(None)
-    sampling_rate, n_fft, hop = sp["sampling_rate"], sp["nfft"], sp["n_overlap"]
-    wire_name = wire
-    base = spectral_wire_base(wire)
-    if base is not None:
-        ds = spectral_downsample(
-            audio, sampling_rate, n_fft, hop, sp["freq_range"]
-        )
-        wire = base
-        if ds is not None:
-            audio, sampling_rate, n_fft, hop = ds
-    bfp_bits = wire_bfp_bits(wire)
+    # tile DFTs (the production path interleaves on purpose — here the
+    # point is to take the upload out of the timed region entirely)
+    wire_name = resolve_wire(None)
+    audio, sampling_rate, n_fft, hop, wire, bfp_bits = fe.prepare_wire_audio(
+        audio, sp["sampling_rate"], sp["nfft"], sp["n_overlap"],
+        sp["freq_range"], None,
+    )
 
     n = audio.shape[-1]
     n_frames = 1 + n // hop

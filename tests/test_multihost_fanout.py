@@ -116,6 +116,36 @@ def test_create_label_arrays_fans_out_per_process(project, monkeypatch):
     )
 
 
+def test_multiprocess_predict_uses_local_mesh(project, monkeypatch):
+    """With process_count > 1 the predictor's window mesh must span only
+    the process's LOCAL devices — on a real pod a global mesh would
+    device_put the model variables onto non-addressable devices and desync
+    the processes' (different-recording) programs. Simulated here: local
+    devices are a 4-of-8 subset; output must equal a single-process run."""
+    from orcai_tpu.pipeline.predict import predict
+
+    root, table_path = project
+    wav = root / "recordings" / "synth000.wav"
+    assert wav.exists()
+
+    out_single = root / "pred_single.txt"
+    predict(
+        wav, output_path=out_single, overwrite=True,
+        msgr=Messenger(verbosity=0), verbosity=0, predict_batch_size=16,
+    )
+
+    subset = jax.devices()[:4]
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    monkeypatch.setattr(jax, "local_devices", lambda: list(subset))
+    out_local = root / "pred_local_mesh.txt"
+    predict(
+        wav, output_path=out_local, overwrite=True,
+        msgr=Messenger(verbosity=0), verbosity=0, predict_batch_size=16,
+    )
+    assert out_local.read_text() == out_single.read_text()
+
+
 def test_predict_table_fans_out_per_process(project, monkeypatch):
     from orcai_tpu.pipeline.predict import predict
 
