@@ -78,3 +78,44 @@ def test_tp_train_step_runs_and_matches_dp():
     a = np.asarray(s_dp[0]["out"]["kernel"])
     b = np.asarray(s_tp[0]["out"]["kernel"])
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_tp_train_step_tcn_matches_dp():
+    """The ResNetTCN extension under the same generic path-suffix rules:
+    its Conv1D head kernels shard as (None, None, "model") and the dp==dpxtp
+    equivalence must hold exactly as for the LSTM arch."""
+    param = dict(PARAM, architecture="ResNetTCN", name="tp-tcn-test")
+    model = build_model(param)
+
+    def make_state(trainer, mesh, tp):
+        p0, stats, _, key = trainer.init_state(INPUT_SHAPE, seed=3)
+        if tp:
+            p0 = shard_params(p0, mesh)
+        opt = trainer.optimizer.init(p0)
+        return (p0, stats, opt, key)
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(size=(8, *INPUT_SHAPE)).astype(np.float32)
+    y = rng.integers(0, 2, size=(8, OUT, 2)).astype(np.float32)
+
+    mesh_dp = make_mesh(n_data=8)
+    tr_dp = Trainer(model, make_optimizer(1e-3), mesh=mesh_dp)
+    s_dp = make_state(tr_dp, mesh_dp, tp=False)
+    s_dp, m_dp = tr_dp.train_step(s_dp, jnp.asarray(x), jnp.asarray(y))
+
+    mesh_tp = make_mesh(n_data=4, n_model=2)
+    tr_tp = Trainer(model, make_optimizer(1e-3), mesh=mesh_tp)
+    s_tp = make_state(tr_tp, mesh_tp, tp=True)
+    specs = params_shardings(s_tp[0], mesh_tp)
+    assert specs["tcn0_conv"]["kernel"].spec == P(None, None, "model")
+    step = jax.jit(tr_tp._train_step, donate_argnums=(0,))
+    xb = jax.device_put(jnp.asarray(x), batch_sharding(mesh_tp))
+    yb = jax.device_put(jnp.asarray(y), batch_sharding(mesh_tp))
+    s_tp, m_tp = step(s_tp, xb, yb)
+
+    np.testing.assert_allclose(
+        np.asarray(m_dp)[0], np.asarray(m_tp)[0], rtol=1e-5
+    )
+    a = np.asarray(s_dp[0]["out"]["kernel"])
+    b = np.asarray(s_tp[0]["out"]["kernel"])
+    np.testing.assert_allclose(a, b, atol=1e-5)
