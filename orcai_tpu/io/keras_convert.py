@@ -32,6 +32,16 @@ def build_keras_model(orcai_parameter: dict, input_shape=(736, 171, 1)):
     mp = orcai_parameter["model"]
     num_labels = len(orcai_parameter["calls"])
     arch = orcai_parameter["architecture"]
+    if arch not in ("ResNetLSTM", "ResNet1DConv"):
+        # the export/parity path exists for the reference's two graphs
+        # only; an unknown arch (e.g. the ResNetTCN extension, which has no
+        # upstream Keras counterpart) must not silently fall into one of
+        # their head branches and emit a wrong graph
+        raise ValueError(
+            f"no reference Keras equivalent for architecture {arch!r}; "
+            "only ResNetLSTM / ResNet1DConv models can be exported to or "
+            "loaded from .keras"
+        )
     filters = mp["filters"]
     ks = mp["kernel_size"]
 

@@ -96,3 +96,12 @@ def test_checkpoint_roundtrip_and_predictor(tmp_path):
     )
     agg, count = wp.aggregate(spec)
     assert np.isfinite(agg).all() and count.max() >= 1
+
+
+def test_keras_export_rejects_tcn():
+    """ResNetTCN has no upstream Keras counterpart; the exporter must raise
+    instead of silently emitting one of the reference heads' graphs."""
+    from orcai_tpu.io.keras_convert import build_keras_model
+
+    with pytest.raises(ValueError, match="no reference Keras equivalent"):
+        build_keras_model(PARAM, (64, 21, 1))
