@@ -105,14 +105,72 @@ class WindowPredictor:
 
     def _plan_chunk_size(self, n_win: int) -> int:
         """Windows per compiled chunk: the batch-size multiple covering n_win,
-        rounded to a power-of-two batch count (bounds recompilation), capped
-        at max_windows_per_chunk."""
+        rounded up a {4, 5, 6} * 2**k batch-count ladder (1,2,3,4,5,6,8,10,
+        12,16,...), capped at max_windows_per_chunk.
+
+        The ladder bounds recompilation (recording lengths vary continuously;
+        wpc may not — each value is one compiled executable and, on remote
+        backends, one lazy program load) while cutting the worst-case
+        padded-window waste of the round-2 pure power-of-two ladder from
+        ~50% to ~22%: the flagship 20-min shape (610 windows, batch 128 ->
+        5 batches) computes 640 windows instead of 1024 (PERFORMANCE.md
+        "Chunk-ladder densification"). Padding only hurts single-chunk
+        recordings — beyond max_windows_per_chunk only the LAST chunk
+        carries invalid windows, a vanishing fraction — so the ladder's
+        extra executables buy compute exactly where it was being wasted."""
         bsz = self.batch_size
         n_batches = max(1, -(-n_win // bsz))
         b = 1
         while b < n_batches:
             b *= 2
+        if b > 4 and (b * 5) // 8 >= n_batches:
+            b = (b * 5) // 8
+        elif b > 2 and (b * 3) // 4 >= n_batches:
+            b = (b * 3) // 4
         return min(self.max_windows_per_chunk, b * bsz)
+
+    def plan(self, t: int) -> tuple[int, int, int, int, int]:
+        """Static execution plan for a recording of t valid spectrogram
+        frames: (n_win, wpc, n_chunks, required_frames, n_out_pad).
+
+        The single source of truth for every shape that keys a compiled
+        executable on the predict path — aggregate_device executes it,
+        planned_spec_bytes prices its HBM cost, and
+        tools/warmup.bucket_warm_counts enumerates its distinct values so a
+        warmed predictor has no cold first recording.
+
+        n_out_pad is the output grid covering every chunk's window span
+        (valid windows never write past the last window's rows; padded rows
+        stay zero). The shift_out widening handles recordings whose tail
+        extends past the last window while n_win is an exact multiple of
+        wpc: there n_out_total exceeds the window span by up to shift_out-1
+        rows and fetch_aggregated's [:n_out_total] slice would otherwise
+        include the trash row — which happens to be all zeros in exactly
+        that case (no invalid windows exist to write it), i.e. the correct
+        value for uncovered tail rows, but only by coincidence; widening
+        makes the invariant structural. Widening by a fixed shift_out (not
+        to n_out_total) keeps the grid shape — and therefore the compiled
+        executable — independent of the exact recording length (a new shape
+        costs a retrace plus a lazy program load on remote backends)."""
+        n_win = (t - self.snippet_len) // self.shift + 1
+        wpc = self._plan_chunk_size(n_win)
+        n_chunks = -(-n_win // wpc)
+        required = (n_chunks * wpc + 1) * self.shift
+        n_out_pad = (n_chunks * wpc - 1) * self.shift_out + self.out_len
+        if t // self.down > n_out_pad:
+            n_out_pad += self.shift_out
+        return n_win, wpc, n_chunks, required, n_out_pad
+
+    def plan_signature(self, t: int, src_len: int) -> tuple[int, int, int]:
+        """(spec buffer length, wpc, n_out_pad) for a recording of t valid
+        frames arriving in a (src_len, bins) device buffer — the shape
+        triple that keys every executable the recording will compile or
+        lazily load (the chunk fn with its agg/count grid, the zero-grid
+        fn, and the pad fn when src_len < the chunk plan's span)."""
+        _, wpc, _, required, n_out_pad = self.plan(t)
+        target = _next_pow2(required)
+        spec_len = src_len if src_len >= target else target
+        return spec_len, wpc, n_out_pad
 
     # -- compiled bodies --------------------------------------------------------
 
@@ -235,10 +293,8 @@ class WindowPredictor:
         re-padded copy _ensure_device creates when the chunk plan's
         power-of-two span exceeds src_len (recordings near the top of a
         frame bucket double here — wave budgeting must count it)."""
-        n_win = (t - self.snippet_len) // self.shift + 1
-        wpc = self._plan_chunk_size(n_win)
-        n_chunks = -(-n_win // wpc)
-        target = _next_pow2((n_chunks * wpc + 1) * self.shift)
+        required = self.plan(t)[3]
+        target = _next_pow2(required)
         padded = target if src_len < target else 0
         return (src_len + padded) * n_bins * 4
 
@@ -283,12 +339,8 @@ class WindowPredictor:
                 f"Recording too short for prediction: {t} spectrogram frames "
                 f"< snippet length {self.snippet_len}"
             )
-        n_win = (t - self.snippet_len) // self.shift + 1
+        n_win, wpc, n_chunks, required, n_out_pad = self.plan(t)
         n_out_total = t // self.down
-
-        wpc = self._plan_chunk_size(n_win)
-        n_chunks = -(-n_win // wpc)
-        required = (n_chunks * wpc + 1) * self.shift
         spec_dev = self._ensure_device(spectrogram, t, required, n_bins)
 
         key = (spec_dev.shape[0], n_bins, wpc)
@@ -298,23 +350,8 @@ class WindowPredictor:
             )
         chunk_fn = self._chunk_fns[key]
 
-        # global output grid covering every chunk's window span (valid
-        # windows never write past the last window's rows; padded rows stay
-        # zero). The shift_out widening handles recordings whose tail
-        # extends past the last window while n_win is an exact multiple of
-        # wpc: there n_out_total exceeds the window span by up to
-        # shift_out-1 rows and fetch_aggregated's [:n_out_total] slice
-        # would otherwise include the trash row — which happens to be all
-        # zeros in exactly that case (no invalid windows exist to write
-        # it), i.e. the correct value for uncovered tail rows, but only by
-        # coincidence; widening makes the invariant structural. Widening by
-        # a fixed shift_out (not to n_out_total) keeps the grid shape — and
-        # therefore the compiled executable — independent of the exact
-        # recording length (a new shape costs a retrace plus a lazy program
-        # load on remote backends).
-        n_out_pad = (n_chunks * wpc - 1) * self.shift_out + self.out_len
-        if n_out_total > n_out_pad:
-            n_out_pad += self.shift_out
+        # global output grid covering every chunk's window span, tail-
+        # widened when needed (see plan() for the invariant)
         agg, count = self._zero_grid(n_out_pad, self.n_labels(n_bins))
         for c in range(n_chunks):
             w0 = c * wpc

@@ -138,13 +138,17 @@ def serve(
         import numpy as np
 
         from orcai_tpu.ops.frontend import make_spectrogram_from_params_device
-        from orcai_tpu.tools.warmup import bucket_sample_counts
+        from orcai_tpu.tools.warmup import bucket_warm_counts
 
         sp = orcai_parameter["spectrogram"]
-        counts = bucket_sample_counts(
-            warm_minutes, sp["sampling_rate"], sp["n_overlap"]
+        # one length per reachable (bucket, chunk-plan) executable, not just
+        # per bucket: the chunk ladder keys extra programs off the window
+        # count, and any cold one is a first-recording stall (lazy program
+        # loads run 12-56 s on the remote backend)
+        counts = bucket_warm_counts(
+            warm_minutes, sp["sampling_rate"], sp["n_overlap"], predictor
         )
-        msgr.part(f"Warming {len(counts)} recording-length buckets")
+        msgr.part(f"Warming {len(counts)} recording-length executables")
         for i, n in enumerate(counts):
             t0 = time.time()
             spec_dev, n_frames, _, _ = make_spectrogram_from_params_device(

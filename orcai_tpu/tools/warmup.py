@@ -40,6 +40,64 @@ def bucket_sample_counts(max_minutes: float, sr: int, hop: int) -> list[int]:
     return counts
 
 
+def bucket_warm_counts(
+    max_minutes: float, sr: int, hop: int, predictor
+) -> list[int]:
+    """Representative sample counts covering every predict-path executable
+    reachable up to max_minutes.
+
+    bucket_sample_counts warms each frame bucket once, at its top — but the
+    chunk plan (WindowPredictor.plan) keys FURTHER executables off the
+    window count: smaller wpc ladder rungs in the lower part of a bucket,
+    per-n_chunks output grids beyond max_windows_per_chunk, and the
+    tail-widened grid when n_win lands exactly on a chunk boundary. Each
+    distinct (frame bucket, spec buffer length, wpc, output grid) signature
+    is its own compiled executable plus, on remote backends, its own
+    per-process lazy program load — one cold signature is a first-recording
+    stall in production (CLAUDE.md: lazy program loads measured 12-56 s).
+
+    The signature is piecewise-constant in the valid frame count t: wpc,
+    n_chunks and the buffer span change only when n_win increments (every
+    `shift` frames), the bucket changes only at power-of-two boundaries,
+    and the grid widens only at one threshold inside each window segment.
+    Scanning exactly those breakpoints therefore enumerates every reachable
+    signature — proven against a dense all-t scan and an executed
+    no-new-executables predict sweep in tests/test_misc_coverage.py.
+    """
+    from orcai_tpu.ops.frontend import _bucket_frames
+
+    snippet, shift, down = predictor.snippet_len, predictor.shift, predictor.down
+    t_max = 1 + int(max_minutes * 60 * sr) // hop
+    if t_max < snippet:
+        return []
+    seen: set[tuple] = set()
+    counts: list[int] = []
+    n_win_max = (t_max - snippet) // shift + 1
+    for n_win in range(1, n_win_max + 1):
+        t_lo = snippet + (n_win - 1) * shift
+        t_hi = min(snippet + n_win * shift - 1, t_max)
+        cands = {t_lo}
+        # grid-widening threshold: smallest t with t // down > the
+        # unwidened n_out_pad (t_lo is never widened: its n_out_total
+        # equals the window span exactly)
+        base = predictor.plan(t_lo)[4]
+        t_widen = (base + 1) * down
+        if t_lo < t_widen <= t_hi:
+            cands.add(t_widen)
+        # frame-bucket boundaries falling inside this window segment
+        t_b = _bucket_frames(t_lo) + 1
+        while t_b <= t_hi:
+            cands.add(t_b)
+            t_b = _bucket_frames(t_b) + 1
+        for t in sorted(cands):
+            bucket = _bucket_frames(t)
+            sig = (bucket, *predictor.plan_signature(t, bucket))
+            if sig not in seen:
+                seen.add(sig)
+                counts.append((t - 1) * hop)
+    return sorted(counts)
+
+
 def warmup(
     max_minutes: float = 90.0,
     model_dir=None,
@@ -82,7 +140,9 @@ def warmup(
         mesh=make_mesh(n_data=n_devices) if n_devices > 1 else None,
     )
 
-    counts = bucket_sample_counts(max_minutes, sp["sampling_rate"], sp["n_overlap"])
+    counts = bucket_warm_counts(
+        max_minutes, sp["sampling_rate"], sp["n_overlap"], predictor
+    )
     for i, n in enumerate(counts):
         t0 = time.time()
         audio = np.zeros(n, dtype=np.int16)

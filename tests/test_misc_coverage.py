@@ -361,3 +361,103 @@ def test_bench_degraded_link_retry():
         [[9.5] * 5, [3.2] * 5], [15.0, 15.0, 48.0]
     )
     assert len(attempts) == 2 and len(sleeps) == 1
+
+
+def _plan_only_predictor(snippet, nf, bsz, cap):
+    from orcai_tpu.ops.overlap import WindowPredictor
+
+    return WindowPredictor(
+        None, {}, snippet_len=snippet, n_filters=nf, batch_size=bsz,
+        max_windows_per_chunk=cap,
+    )
+
+
+def _plan_sig(pred, t):
+    from orcai_tpu.ops.frontend import _bucket_frames
+
+    bucket = _bucket_frames(t)
+    return (bucket, *pred.plan_signature(t, bucket))
+
+
+def test_bucket_warm_counts_cover_all_plans():
+    """bucket_warm_counts' breakpoint scan enumerates EXACTLY the executable
+    signatures a dense scan over every reachable frame count finds — no
+    cold (bucket, spec buffer, wpc, output grid) combination survives a
+    warmup, and no redundant length is compiled twice."""
+    from orcai_tpu.tools.warmup import bucket_warm_counts
+
+    configs = [
+        # (snippet, n_filters, batch, cap, sr, hop, minutes)
+        (64, 4, 4, 8, 256, 4, 10.0),     # multi-chunk heavy: cap = 2 batches
+        (96, 3, 5, 40, 256, 4, 10.0),    # non-pow2 batch, deep single chunks
+        (64, 4, 4, 8, 100, 7, 13.3),     # hop/sr with ragged frame rounding
+        (128, 5, 2, 6, 512, 16, 30.0),   # cap not a power-of-two multiple
+    ]
+    for snippet, nf, bsz, cap, sr, hop, minutes in configs:
+        pred = _plan_only_predictor(snippet, nf, bsz, cap)
+        t_max = 1 + int(minutes * 60 * sr) // hop
+        dense = {_plan_sig(pred, t) for t in range(snippet, t_max + 1)}
+        counts = bucket_warm_counts(minutes, sr, hop, pred)
+        warm = set()
+        for n in counts:
+            t = 1 + n // hop
+            assert snippet <= t <= t_max
+            warm.add(_plan_sig(pred, t))
+        assert warm == dense, (snippet, nf, bsz, cap, sr, hop)
+        assert len(counts) == len(dense)  # minimal: one length per program
+
+
+def test_warmed_predictor_no_new_executables():
+    """Executed proof that plan_signature keys REAL executables: after
+    warming every bucket_warm_counts length, predicting every reachable
+    recording length compiles nothing new (all host-side fn caches and
+    every chunk fn's jit cache stay frozen)."""
+    import jax
+    import jax.numpy as jnp
+
+    from orcai_tpu.ops.frontend import _bucket_frames
+    from orcai_tpu.ops.overlap import WindowPredictor
+    from orcai_tpu.tools.warmup import bucket_warm_counts
+
+    model = build_model(
+        {
+            "name": "tiny",
+            "architecture": "ResNetLSTM",
+            "model": {
+                "filters": [4, 6, 8, 10],
+                "kernel_size": 3,
+                "dropout_rate": 0.5,
+                "lstm_units": 8,
+            },
+            "calls": ["A", "B"],
+        }
+    )
+    snippet, nbins = 64, 5
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, snippet, nbins, 1))
+    )
+    wp = WindowPredictor(
+        model, variables, snippet_len=snippet, n_filters=4,
+        batch_size=4, max_windows_per_chunk=8,
+    )
+    sr, hop, minutes = 256, 4, 0.16
+    t_max = 1 + int(minutes * 60 * sr) // hop
+
+    def predict_frames(t):
+        spec = jnp.zeros((_bucket_frames(t), nbins), jnp.float32)
+        wp.aggregate(spec, n_frames=t)
+
+    for n in bucket_warm_counts(minutes, sr, hop, wp):
+        predict_frames(1 + n // hop)
+    frozen = (
+        set(wp._chunk_fns),
+        set(wp._pad_fns),
+        set(wp._zero_fns),
+        {k: f._cache_size() for k, f in wp._chunk_fns.items()},
+    )
+    for t in range(snippet, t_max + 1):
+        predict_frames(t)
+    assert set(wp._chunk_fns) == frozen[0]
+    assert set(wp._pad_fns) == frozen[1]
+    assert set(wp._zero_fns) == frozen[2]
+    assert {k: f._cache_size() for k, f in wp._chunk_fns.items()} == frozen[3]
