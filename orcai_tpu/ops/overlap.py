@@ -110,14 +110,15 @@ class WindowPredictor:
 
         The ladder bounds recompilation (recording lengths vary continuously;
         wpc may not — each value is one compiled executable and, on remote
-        backends, one lazy program load) while cutting the worst-case
-        padded-window waste of the round-2 pure power-of-two ladder from
-        ~50% to ~22%: the flagship 20-min shape (610 windows, batch 128 ->
-        5 batches) computes 640 windows instead of 1024 (PERFORMANCE.md
-        "Chunk-ladder densification"). Padding only hurts single-chunk
-        recordings — beyond max_windows_per_chunk only the LAST chunk
-        carries invalid windows, a vanishing fraction — so the ladder's
-        extra executables buy compute exactly where it was being wasted."""
+        backends, one lazy program load) while cutting the round-2 pure
+        power-of-two ladder's worst-case whole-batch padding from ~50% to
+        ~22% (the final batch's internal padding is batch-granularity,
+        not the ladder's): the flagship 20-min shape (610 windows, batch
+        128 -> 5 batches) computes 640 windows instead of 1024 (PERFORMANCE.md
+        "Chunk-ladder densification"). Recordings whose window count
+        exceeds max_windows_per_chunk run full cap-size chunks plus one
+        ladder-planned remainder chunk (see plan), so the bound holds at
+        every length."""
         bsz = self.batch_size
         n_batches = max(1, -(-n_win // bsz))
         b = 1
@@ -129,9 +130,17 @@ class WindowPredictor:
             b = (b * 3) // 4
         return min(self.max_windows_per_chunk, b * bsz)
 
-    def plan(self, t: int) -> tuple[int, int, int, int, int]:
+    def plan(self, t: int) -> tuple[int, tuple, int, int]:
         """Static execution plan for a recording of t valid spectrogram
-        frames: (n_win, wpc, n_chunks, required_frames, n_out_pad).
+        frames: (n_win, chunks, required_frames, n_out_pad), where chunks
+        is a tuple of (wpc, count) pairs executed in order — full
+        max_windows_per_chunk chunks first, then at most one smaller
+        ladder-planned remainder chunk. Planning the remainder on the same
+        ladder instead of padding it to the cap matters right above cap
+        multiples: a 90-min sp-wire recording (2750 windows, cap 2048)
+        computes 2048+768 windows instead of 2x2048 (-31% CRNN compute)
+        and its frame span then fits the frontend bucket instead of
+        forcing a ~1.9 GB re-padded spectrogram copy.
 
         The single source of truth for every shape that keys a compiled
         executable on the predict path — aggregate_device executes it,
@@ -153,24 +162,32 @@ class WindowPredictor:
         executable — independent of the exact recording length (a new shape
         costs a retrace plus a lazy program load on remote backends)."""
         n_win = (t - self.snippet_len) // self.shift + 1
-        wpc = self._plan_chunk_size(n_win)
-        n_chunks = -(-n_win // wpc)
-        required = (n_chunks * wpc + 1) * self.shift
-        n_out_pad = (n_chunks * wpc - 1) * self.shift_out + self.out_len
+        cap = self.max_windows_per_chunk
+        if n_win > cap:
+            full, rem = divmod(n_win, cap)
+            chunks = [(cap, full)]
+            if rem:
+                chunks.append((self._plan_chunk_size(rem), 1))
+        else:
+            chunks = [(self._plan_chunk_size(n_win), 1)]
+        planned = sum(w * c for w, c in chunks)
+        required = (planned + 1) * self.shift
+        n_out_pad = (planned - 1) * self.shift_out + self.out_len
         if t // self.down > n_out_pad:
             n_out_pad += self.shift_out
-        return n_win, wpc, n_chunks, required, n_out_pad
+        return n_win, tuple(chunks), required, n_out_pad
 
-    def plan_signature(self, t: int, src_len: int) -> tuple[int, int, int]:
-        """(spec buffer length, wpc, n_out_pad) for a recording of t valid
-        frames arriving in a (src_len, bins) device buffer — the shape
-        triple that keys every executable the recording will compile or
-        lazily load (the chunk fn with its agg/count grid, the zero-grid
-        fn, and the pad fn when src_len < the chunk plan's span)."""
-        _, wpc, _, required, n_out_pad = self.plan(t)
+    def plan_signature(self, t: int, src_len: int) -> tuple:
+        """(spec buffer length, chunks, n_out_pad) for a recording of t
+        valid frames arriving in a (src_len, bins) device buffer — the
+        shape tuple that keys every executable the recording will compile
+        or lazily load (one chunk fn per distinct wpc with its agg/count
+        grid, the zero-grid fn, and the pad fn when src_len < the chunk
+        plan's span)."""
+        _, chunks, required, n_out_pad = self.plan(t)
         target = _next_pow2(required)
         spec_len = src_len if src_len >= target else target
-        return spec_len, wpc, n_out_pad
+        return spec_len, chunks, n_out_pad
 
     # -- compiled bodies --------------------------------------------------------
 
@@ -293,7 +310,7 @@ class WindowPredictor:
         re-padded copy _ensure_device creates when the chunk plan's
         power-of-two span exceeds src_len (recordings near the top of a
         frame bucket double here — wave budgeting must count it)."""
-        required = self.plan(t)[3]
+        required = self.plan(t)[2]
         target = _next_pow2(required)
         padded = target if src_len < target else 0
         return (src_len + padded) * n_bins * 4
@@ -339,32 +356,33 @@ class WindowPredictor:
                 f"Recording too short for prediction: {t} spectrogram frames "
                 f"< snippet length {self.snippet_len}"
             )
-        n_win, wpc, n_chunks, required, n_out_pad = self.plan(t)
+        n_win, chunks, required, n_out_pad = self.plan(t)
         n_out_total = t // self.down
         spec_dev = self._ensure_device(spectrogram, t, required, n_bins)
-
-        key = (spec_dev.shape[0], n_bins, wpc)
-        if key not in self._chunk_fns:
-            self._chunk_fns[key] = self._build_chunk_fn(
-                spec_dev.shape[0], n_bins, wpc
-            )
-        chunk_fn = self._chunk_fns[key]
 
         # global output grid covering every chunk's window span, tail-
         # widened when needed (see plan() for the invariant)
         agg, count = self._zero_grid(n_out_pad, self.n_labels(n_bins))
-        for c in range(n_chunks):
-            w0 = c * wpc
-            n_valid = min(wpc, n_win - w0)
-            agg, count = chunk_fn(
-                agg,
-                count,
-                self.variables,
-                spec_dev,
-                jnp.asarray(w0 * self.shift, jnp.int32),
-                jnp.asarray(w0, jnp.int32),
-                jnp.asarray(n_valid, jnp.int32),
-            )
+        w0 = 0
+        for wpc, n_repeat in chunks:
+            key = (spec_dev.shape[0], n_bins, wpc)
+            if key not in self._chunk_fns:
+                self._chunk_fns[key] = self._build_chunk_fn(
+                    spec_dev.shape[0], n_bins, wpc
+                )
+            chunk_fn = self._chunk_fns[key]
+            for _ in range(n_repeat):
+                n_valid = min(wpc, n_win - w0)
+                agg, count = chunk_fn(
+                    agg,
+                    count,
+                    self.variables,
+                    spec_dev,
+                    jnp.asarray(w0 * self.shift, jnp.int32),
+                    jnp.asarray(w0, jnp.int32),
+                    jnp.asarray(n_valid, jnp.int32),
+                )
+                w0 += wpc
         return agg, count, n_out_total
 
     @staticmethod

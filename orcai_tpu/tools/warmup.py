@@ -1,11 +1,14 @@
 """Pre-compile the predict-path executables into the persistent XLA cache.
 
 Remote-compiler backends pay minutes of cold compilation the first time a
-new recording-length bucket is seen (the frontend pads recordings to
-power-of-two frame buckets, ops/frontend.py). Running this tool once per
-machine compiles the spectrogram + windowed-inference executables for every
-bucket up to --minutes through the SAME code path `orcai predict` uses, so
-production invocations start hot regardless of recording length.
+new executable shape is seen: the frontend pads recordings to power-of-two
+frame buckets (ops/frontend.py) and the window predictor keys further
+programs off its chunk plan (WindowPredictor.plan — wpc ladder rungs,
+chunk-count output grids, the tail-widened grid). Running this tool once
+per machine compiles the spectrogram + windowed-inference executables for
+every reachable (bucket, chunk-plan) signature up to --minutes through the
+SAME code path `orcai predict` uses, so production invocations start hot
+regardless of recording length.
 
 Usage:  python -m orcai_tpu.tools.warmup [--minutes 90] [--model orcai-v1]
 """
@@ -80,7 +83,7 @@ def bucket_warm_counts(
         # grid-widening threshold: smallest t with t // down > the
         # unwidened n_out_pad (t_lo is never widened: its n_out_total
         # equals the window span exactly)
-        base = predictor.plan(t_lo)[4]
+        base = predictor.plan(t_lo)[3]
         t_widen = (base + 1) * down
         if t_lo < t_widen <= t_hi:
             cands.add(t_widen)

@@ -222,3 +222,29 @@ def test_indivisible_snippet_len_raises():
             WindowPredictor(
                 model, variables, snippet_len=bad, n_filters=NFILT
             )
+
+
+def test_window_predictor_mixed_chunk_sizes():
+    """Beyond max_windows_per_chunk the plan runs full cap-size chunks plus
+    one smaller ladder-planned remainder chunk (two DIFFERENT compiled wpc
+    values in one recording); outputs must still match the reference
+    algorithm exactly."""
+    model, variables = _model_and_vars()
+    wp = WindowPredictor(
+        model, variables, snippet_len=SNIPPET, n_filters=NFILT,
+        batch_size=4, max_windows_per_chunk=16,
+    )
+    t = SNIPPET + 16 * (SNIPPET // 2)  # n_win = 17: chunks ((16,1),(4,1))
+    n_win, chunks, _, _ = wp.plan(t)
+    assert n_win == 17 and chunks == ((16, 1), (4, 1))
+
+    rng = np.random.default_rng(7)
+    spec = rng.uniform(size=(t, NBINS)).astype(np.float32)
+
+    def apply_fn(x):
+        return np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+
+    agg, cnt = wp.aggregate(spec)
+    exp_agg, exp_cnt = _reference_aggregate(spec, apply_fn)
+    np.testing.assert_array_equal(cnt, exp_cnt)
+    np.testing.assert_allclose(agg, exp_agg, atol=1e-5)
