@@ -2,8 +2,10 @@
 
 The reference's 12-subcommand surface (cli.py:15-789) rebuilt on plain
 click, same command names, arguments and flags, grouped as Predicting calls
-/ Training Models / Helpers. Each command lazy-imports its pipeline module
-so `orcai --help` stays fast.
+/ Training Models / Helpers, plus two extensions with no upstream
+equivalent: `serve` (watch-folder prediction with one persistent warmed
+model) and `warmup` (pre-compile the predict executables). Each command
+lazy-imports its pipeline module so `orcai --help` stays fast.
 """
 
 from __future__ import annotations
@@ -200,6 +202,51 @@ def cli_serve(**kwargs):
         kwargs["model_dir"] = bundled_model_dir(kwargs["model"])
     del kwargs["model"]
     serve(**kwargs)
+
+
+@cli.command(
+    name="warmup",
+    help="Pre-compiles the predict-path executables for every recording "
+    "length up to --minutes into the persistent compile cache (one "
+    "representative length per reachable executable shape: frame bucket "
+    "x chunk plan). Remote-compiler TPU backends otherwise pay the "
+    "compilation on the first production recording of each new shape; "
+    "run this once per machine (safe to re-run — cached shapes are "
+    "near-instant) so `orcai predict` / `orcai serve` start hot. "
+    "No upstream-orcAI equivalent.",
+    short_help="Pre-compile predict executables.",
+)
+@click.option("--minutes", "-mi", type=float, default=90.0, show_default=True,
+              help="Longest recording duration to cover.")
+@click.option("--model", "-m", "model",
+              type=(click.Choice(INCLUDED_MODELS, case_sensitive=False)
+                    if INCLUDED_MODELS else str),
+              default="orcai-v1", show_default=True,
+              help="Builtin model to warm for. Overridden if model_dir "
+              "is given.")
+@click.option("--model_dir", "-md", "model_dir", type=DirPathR, default=None,
+              show_default="use builtin model", help="Path to a model directory.")
+@click.option("--predict_batch_size", "-bs", type=int, default=128,
+              show_default=True,
+              help="Window batch size (must match production predicts).")
+@click.option("--wire_codec", "-wc", "wire",
+              type=click.Choice(["auto", "exact", "mulaw8", "bfp6", "bfp5",
+                                 "sp-bfp6", "sp-bfp5"]),
+              default="auto", show_default=True,
+              help="Wire codec to warm (must match production predicts; "
+              "the frontends differ per codec).")
+@_verbosity_option
+def cli_warmup(minutes, model, model_dir, predict_batch_size, wire,
+               verbosity):
+    msgr = Messenger(verbosity=verbosity, title="Warming predict executables")
+    from orcai_tpu.pipeline.helpers import bundled_model_dir
+    from orcai_tpu.tools.warmup import warmup
+
+    if model_dir is None:
+        model_dir = bundled_model_dir(model)
+    n = warmup(minutes, model_dir, predict_batch_size,
+               verbose=verbosity >= 1, wire=wire)
+    msgr.part(f"Warmed {n} recording-length executables")
 
 
 @cli.command(

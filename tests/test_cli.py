@@ -19,8 +19,10 @@ EXPECTED_COMMANDS = {
     "train",
     "test",
     "hpsearch",
-    # extension beyond the reference surface: watch-folder serving mode
+    # extensions beyond the reference surface: watch-folder serving mode
+    # and executable pre-compilation for remote-compiler backends
     "serve",
+    "warmup",
 }
 
 
@@ -95,3 +97,13 @@ def test_train_parameter_default():
     train_cmd = cli.commands["train"]
     opt = next(p for p in train_cmd.params if p.name == "orcai_parameter")
     assert opt.default == str(DEFAULT_ORCAI_PARAMETER)
+
+
+def test_cli_warmup_smoke():
+    """`orcai warmup` drives the executable enumeration through the CLI;
+    --minutes below the snippet duration reaches no executable (count 0)
+    but exercises model load, predictor construction, and the scanner."""
+    runner = CliRunner()
+    result = runner.invoke(cli, ["warmup", "--minutes", "0.05", "-v", "2"])
+    assert result.exit_code == 0, result.output
+    assert "Warmed 0 recording-length executables" in result.output
