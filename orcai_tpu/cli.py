@@ -117,16 +117,16 @@ def cli():
               help="Window batch size for on-device inference.")
 @click.option("--wire_codec", "-wc", "wire",
               type=click.Choice(["auto", "exact", "mulaw8", "bfp6", "bfp5",
-                                 "sp-bfp6", "sp-bfp5"]),
+                                 "sp-bfp6", "sp-bfp5", "sp11-bfp5"]),
               default="auto", show_default=True,
               help="Host->device audio byte format: exact PCM; 8-bit "
                    "mu-law codes (1 byte/sample, 38 dB SNR); packed "
                    "block-floating-point (bfp6 0.76 bytes/sample ~33 dB, "
                    "bfp5 0.63 ~27 dB) decoded on device; or the spectral "
-                   "wires (sp-bfp6 0.57, sp-bfp5 0.47) — a host 3/4 "
-                   "resample that drops only the band the frontend crops, "
-                   "then the base codec. All hold annotation-level parity. "
-                   "auto = sp-bfp5 on TPU.")
+                   "wires (sp-bfp6 0.57, sp-bfp5 0.47, sp11-bfp5 0.44) — "
+                   "a host 3/4 (sp11: 11/16) resample that drops only the "
+                   "band the frontend crops, then the base codec. All "
+                   "hold annotation-level parity. auto = sp-bfp5 on TPU.")
 @_verbosity_option
 def cli_predict(**kwargs):
     kwargs["msgr"] = Messenger(verbosity=kwargs["verbosity"],
@@ -179,7 +179,7 @@ def cli_predict(**kwargs):
               help="Window batch size for on-device inference.")
 @click.option("--wire_codec", "-wc", "wire",
               type=click.Choice(["auto", "exact", "mulaw8", "bfp6", "bfp5",
-                                 "sp-bfp6", "sp-bfp5"]),
+                                 "sp-bfp6", "sp-bfp5", "sp11-bfp5"]),
               default="auto", show_default=True,
               help="Host->device audio byte format (see `orcai predict`).")
 @click.option("--poll_seconds", "-ps", type=float, default=2.0,
@@ -231,7 +231,7 @@ def cli_serve(**kwargs):
               help="Window batch size (must match production predicts).")
 @click.option("--wire_codec", "-wc", "wire",
               type=click.Choice(["auto", "exact", "mulaw8", "bfp6", "bfp5",
-                                 "sp-bfp6", "sp-bfp5"]),
+                                 "sp-bfp6", "sp-bfp5", "sp11-bfp5"]),
               default="auto", show_default=True,
               help="Wire codec to warm (must match production predicts; "
               "the frontends differ per codec).")

@@ -138,6 +138,12 @@ def _load_wirecodec() -> ctypes.CDLL | None:
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ]
         lib.orcai_resample34.restype = ctypes.c_int64
+        lib.orcai_resample_poly.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.orcai_resample_poly.restype = ctypes.c_int64
         return lib
     except Exception:  # noqa: BLE001 — any failure means "use numpy"
         return None
@@ -278,5 +284,37 @@ def resample34_native(
         raise ValueError(
             f"native resampler rejected geometry (rc={rc}): n_taps="
             f"{taps.size}, n_in={x.size}, n_out={n_out}"
+        )
+    return out
+
+
+def resample_poly_native(
+    x: np.ndarray, taps: np.ndarray, L: int, M: int, n_out: int
+) -> np.ndarray | None:
+    """Generic L/M polyphase resample via C (resample.c), or None if
+    unavailable.
+
+    `x` int16 PCM, `taps` the int16 Q15 prototype from
+    ops.spectral.design_taps(sr, pass_hz, L, M) (odd length, group delay
+    divisible by L). Bit-exact with ops/spectral._resample_poly_numpy.
+    Raises ValueError on a geometry the C kernel rejects — the designer
+    never produces one, so a rejection is a bug, not a fallback case.
+    """
+    lib = _load_wirecodec()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.int16)
+    taps = np.ascontiguousarray(taps, dtype=np.int16)
+    out = np.empty(int(n_out), np.int16)
+    rc = lib.orcai_resample_poly(
+        x.ctypes.data, x.size, taps.ctypes.data, taps.size,
+        int(L), int(M), out.ctypes.data, out.size,
+    )
+    if rc == -2:
+        return None
+    if rc != 0:
+        raise ValueError(
+            f"native poly resampler rejected geometry (rc={rc}): L={L} "
+            f"M={M} n_taps={taps.size}, n_in={x.size}, n_out={n_out}"
         )
     return out

@@ -243,9 +243,81 @@ static int64_t rs_run(const int16_t *x, int64_t n_in, const int16_t *taps,
 }
 #endif
 
+/* Generic rational L/M polyphase (the sp11 wire's 11/16; any gcd(L,M)=1
+ * ratio the Python designer emits). Unlike the tuned 3/4 kernel above,
+ * each output's tap window is walked CONTIGUOUSLY in the padded input
+ * (output phase p uses prototype taps (p*M) mod L :: L against the window
+ * starting at M*q + (p*M)/L — the standard rational-polyphase identity,
+ * which the specialized kernel's p/p split is the L=3, M=4 instance of),
+ * so the inner loop is a plain int16 dot product that auto-vectorizes
+ * under -O3 -march=native. Bit-exact with ops/spectral.py's
+ * _resample_poly_numpy: same padding, same tap order per product, and
+ * int32 wrap-around addition is order-independent (the designer bounds
+ * each phase's L1 norm so the accumulator never exceeds int32 anyway). */
+static int64_t rs_poly_run(const int16_t *x, int64_t n_in,
+                           const int16_t *taps, int64_t n_taps,
+                           int64_t L, int64_t M, int16_t *y, int64_t n_out)
+{
+    const int64_t cl = ((n_taps - 1) / 2) / L;
+    const int64_t npad = n_in + 2 * RS_PAD;
+    int16_t *xz = (int16_t *)calloc((size_t)npad, sizeof(int16_t));
+    if (!xz)
+        return -2;
+    memcpy(xz + RS_PAD, x, (size_t)n_in * sizeof(int16_t));
+    int16_t hr[RS_PAD];
+    for (int64_t p = 0; p < L; p++) {
+        const int64_t tap_off = (p * M) % L;
+        const int64_t x_base = (p * M) / L;
+        const int64_t kp = (n_taps - 1 - tap_off) / L + 1;
+        const int64_t nq = (n_out - p + L - 1) / L;
+        if (nq <= 0)
+            continue;
+        if (M * (nq - 1) + x_base + cl + RS_PAD >= npad) {
+            free(xz);
+            return -1;
+        }
+        for (int64_t j = 0; j < kp; j++)
+            hr[j] = taps[L * (kp - 1 - j) + tap_off];
+        const int64_t off = x_base + cl - kp + 1 + RS_PAD;
+        for (int64_t q = 0; q < nq; q++) {
+            const int16_t *s = xz + M * q + off;
+            int32_t acc = 0;
+            for (int64_t j = 0; j < kp; j++)
+                acc += (int32_t)hr[j] * (int32_t)s[j];
+            int32_t v = (acc + 16384) >> 15;
+            v = v > 32767 ? 32767 : v;
+            v = v < -32768 ? -32768 : v;
+            y[L * q + p] = (int16_t)v;
+        }
+    }
+    free(xz);
+    return 0;
+}
+
 #ifdef __cplusplus
 extern "C" {
 #endif
+
+int64_t orcai_resample_poly(const int16_t *x, int64_t n_in,
+                            const int16_t *taps, int64_t n_taps,
+                            int64_t L, int64_t M,
+                            int16_t *y, int64_t n_out)
+{
+    if (n_in < 0 || n_out < 0 || n_taps < 1 || (n_taps & 1) == 0)
+        return -1;
+    if (L < 1 || M <= L)
+        return -1;
+    const int64_t c = (n_taps - 1) / 2;
+    if (c % L)
+        return -1;
+    if ((n_taps + L - 1) / L + 8 > RS_PAD || c / L + 8 > RS_PAD)
+        return -1;
+    if (n_out > L * n_in / M + L)
+        return -1;
+    if (n_out == 0)
+        return 0;
+    return rs_poly_run(x, n_in, taps, n_taps, L, M, y, n_out);
+}
 
 int64_t orcai_resample34(const int16_t *x, int64_t n_in,
                          const int16_t *taps, int64_t n_taps,

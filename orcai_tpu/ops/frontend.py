@@ -371,16 +371,19 @@ def prepare_wire_audio(
     wire = resolve_wire(wire)
     spectral_base = spectral_wire_base(wire)
     if spectral_base is not None:
-        # spectral wire (ops/spectral.py): resample 3/4 on host and run the
-        # identical frontend at the scaled geometry — same bin spacing, same
-        # frame times, same frame count, same crop indices; the constant
-        # amplitude scale cancels through the normalize chain. 25% fewer
-        # samples then cross the link through the base codec. Geometries
-        # that cannot hold the grid run the base codec at the native rate.
+        # spectral wire (ops/spectral.py): resample L/M on host (sp-* 3/4,
+        # sp11-* 11/16) and run the identical frontend at the scaled
+        # geometry — same bin spacing, same frame times, same frame count,
+        # same crop indices; the constant amplitude scale cancels through
+        # the normalize chain. 25% (resp. 31%) fewer samples then cross
+        # the link through the base codec. Geometries that cannot hold the
+        # grid run the base codec at the native rate.
         from orcai_tpu.ops.spectral import spectral_downsample
+        from orcai_tpu.ops.wire_codec import spectral_wire_ratio
 
         ds = spectral_downsample(
-            audio, sampling_rate, n_fft, hop_length, freq_range
+            audio, sampling_rate, n_fft, hop_length, freq_range,
+            ratio=spectral_wire_ratio(wire),
         )
         wire = spectral_base
         if ds is not None:

@@ -1,4 +1,19 @@
-"""Spectral wire: host-side 3/4 resample that preserves the spectrogram grid.
+"""Spectral wire: host-side L/M resample that preserves the spectrogram grid.
+
+Two shipped ratios (ops/wire_codec.spectral_wire_ratio): the sp-* wires'
+conservative 3/4 — the design walkthrough below — and the sp11-* wires'
+near-optimal 11/16 (48 kHz -> 33 kHz, nfft 352, hop 176: same 93.75 Hz bin
+spacing, same frame times, output Nyquist 16.5 kHz just 562 Hz above the
+retained band, i.e. within 3% of the information-theoretic minimum rate
+for freq_range [0, 16 kHz]). The narrower transition band costs a longer
+filter (~2 k taps vs ~160; the generic C kernel runs it at ~200 MB/s on
+one core, still several times the link rate) and measurably more
+near-threshold flicker on golden content (test_spectral.py's coverage
+criterion), which is why sp11 is opt-in while sp-bfp5 stays the default.
+Everything below generalizes verbatim: replace 3/4 by L/M, nfft/hop scale
+by L/M, the alias fold sits at (L/M)*sr - pass_hz, and the constant gain
+the Q15 L1 bound forces (~0.78 at 11/16) cancels through the normalize
+chain exactly like 3/4's ~0.99.
 
 On remote-dispatch TPU backends the predict pipeline is transfer-bound
 (PERFORMANCE.md): the flagship ceiling is audio bytes on the wire. The
@@ -55,30 +70,31 @@ _STOP_DB = 70.0  # stopband attenuation target for the tap design
 
 
 @lru_cache(maxsize=None)
-def design_taps34(sr: int, pass_hz: float) -> np.ndarray:
-    """Int16 Q15 prototype low-pass for the 3/4 resampler, Kaiser-windowed.
+def design_taps(sr: int, pass_hz: float, L: int = 3, M: int = 4) -> np.ndarray:
+    """Int16 Q15 prototype low-pass for the L/M resampler, Kaiser-windowed.
 
-    Designed at the 3x-upsampled rate: passband edge `pass_hz` (the highest
-    retained spectrogram bin), stopband edge 0.75*sr - pass_hz (the lowest
+    Designed at the Lx-upsampled rate: passband edge `pass_hz` (the highest
+    retained spectrogram bin), stopband edge (L/M)*sr - pass_hz (the lowest
     frequency that aliases back into the retained band), cutoff at the
-    output Nyquist 0.375*sr. Length is odd with group delay divisible by 3
-    (zero net delay through the polyphase), and the per-phase L1 norm is
+    output Nyquist (L/M)*sr/2. Length is odd with group delay divisible by
+    L (zero net delay through the polyphase), and the per-phase L1 norm is
     asserted against int32 accumulator overflow in the C/numpy kernels.
     """
-    stop_hz = 0.75 * sr - pass_hz
+    stop_hz = (L / M) * sr - pass_hz
     if stop_hz <= pass_hz:
         raise ValueError(
             f"no transition band: pass {pass_hz} Hz vs stop {stop_hz} Hz"
         )
-    up_rate = 3 * sr
+    up_rate = L * sr
     delta_w = 2.0 * np.pi * (stop_hz - pass_hz) / up_rate
     n_min = int(np.ceil((_STOP_DB - 7.95) / (2.285 * delta_w))) + 1
-    n_taps = n_min + (1 - n_min) % 6  # next length == 1 (mod 6)
+    n_taps = n_min + (1 - n_min) % (2 * L)  # next length == 1 (mod 2L)
     atten = 2.285 * delta_w * (n_taps - 1) + 7.95  # achievable, >= target
     beta = 0.1102 * (atten - 8.7)
     n = np.arange(n_taps) - (n_taps - 1) / 2.0
-    # cutoff = output Nyquist = up_rate / 8; gain 3 compensates zero-stuffing
-    h = 0.75 * np.sinc(0.25 * n) * np.kaiser(n_taps, beta)
+    # cutoff = output Nyquist = up_rate / (2M); DC gain L compensates
+    # zero-stuffing (sum of sinc(n/M) is M, times L/M)
+    h = (L / M) * np.sinc(n / M) * np.kaiser(n_taps, beta)
     # Q15 quantization, rescaled (typically ~-0.12 dB) until every phase's
     # L1 norm fits the int32 accumulator even for adversarial full-scale
     # input: |acc| <= L1 * 32768 < 2^31. A constant gain on all samples is
@@ -87,14 +103,14 @@ def design_taps34(sr: int, pass_hz: float) -> np.ndarray:
     for _ in range(8):
         taps = np.clip(np.rint(h * scale), -32768, 32767).astype(np.int16)
         max_l1 = max(
-            int(np.abs(taps[p::3].astype(np.int64)).sum()) for p in range(3)
+            int(np.abs(taps[p::L].astype(np.int64)).sum()) for p in range(L)
         )
         if max_l1 < 65536:
             break
         scale *= 65535.0 / max_l1
     else:  # pragma: no cover - design-time guard
         raise AssertionError(f"taps L1 {max_l1} will not fit int32 accum")
-    if (n_taps + 2) // 3 + 8 > _PAD:
+    if (n_taps + L - 1) // L + 8 > _PAD:
         raise ValueError(
             f"transition band {stop_hz - pass_hz:.0f} Hz needs {n_taps} "
             f"taps, beyond the kernel padding budget"
@@ -103,72 +119,99 @@ def design_taps34(sr: int, pass_hz: float) -> np.ndarray:
     return taps
 
 
-def _resample34_numpy(
-    x: np.ndarray, taps: np.ndarray, n_out: int
+def design_taps34(sr: int, pass_hz: float) -> np.ndarray:
+    """The 3/4 resampler's taps (the generic designer at L=3, M=4)."""
+    return design_taps(sr, pass_hz, 3, 4)
+
+
+def _resample_poly_numpy(
+    x: np.ndarray, taps: np.ndarray, L: int, M: int, n_out: int
 ) -> np.ndarray:
     """Vectorized mirror of native/resample.c — bit-exact by construction.
 
-    Same zero padding, same phase decomposition, same ascending-tap int32
-    accumulation, same (acc + 16384) >> 15 round and clamp.
+    Same zero padding, same phase decomposition (output phase p uses
+    prototype taps (p*M) mod L :: L against the contiguous input window
+    starting at M*q + (p*M)//L, the standard rational-polyphase identity),
+    same ascending-tap int32 accumulation (int32 wraps, and wrapping
+    addition is order-independent), same (acc + 16384) >> 15 round and
+    clamp.
     """
     n_taps = len(taps)
-    c3 = ((n_taps - 1) // 2) // 3
-    npad = len(x) + 2 * _PAD
-    npad += (-npad) % 4
-    xz = np.zeros(npad, np.int32)
+    cl = ((n_taps - 1) // 2) // L
+    xz = np.zeros(len(x) + 2 * _PAD, np.int32)
     xz[_PAD : _PAD + len(x)] = x
-    sub = xz.reshape(-1, 4)  # sub[k, r] = xz[4k + r]
     out = np.empty(n_out, np.int16)
-    for p in range(3):
-        kp = (n_taps - 1 - p) // 3 + 1
-        nq = (n_out - p + 2) // 3
+    for p in range(L):
+        tap_off = (p * M) % L
+        x_base = (p * M) // L
+        kp = (n_taps - 1 - tap_off) // L + 1
+        nq = (n_out - p + L - 1) // L
         if nq <= 0:
             continue
         acc = np.zeros(nq, np.int32)
         for j in range(kp):
-            h = np.int32(taps[3 * (kp - 1 - j) + p])
-            a = p + c3 - kp + 1 + j + _PAD
-            d = a >> 2
-            acc += h * sub[d : d + nq, a & 3]
+            h = np.int32(taps[L * (kp - 1 - j) + tap_off])
+            a = x_base + cl - kp + 1 + j + _PAD
+            acc += h * xz[a : a + (nq - 1) * M + 1 : M]
         v = (acc + 16384) >> 15
-        out[p::3] = np.clip(v, -32768, 32767).astype(np.int16)
+        out[p::L] = np.clip(v, -32768, 32767).astype(np.int16)
     return out
 
 
-def resample34(x: np.ndarray, sr: int, pass_hz: float) -> np.ndarray:
-    """Resample int16 PCM by exactly 3/4 (len 3*n//4), zero net delay.
+def _resample34_numpy(
+    x: np.ndarray, taps: np.ndarray, n_out: int
+) -> np.ndarray:
+    """The 3/4 numpy kernel (the generic polyphase at L=3, M=4)."""
+    return _resample_poly_numpy(x, taps, 3, 4, n_out)
+
+
+def resample_poly(
+    x: np.ndarray, sr: int, pass_hz: float, L: int, M: int
+) -> np.ndarray:
+    """Resample int16 PCM by exactly L/M (len L*n//M), zero net delay.
 
     Float input in [-1, 1] is rounded to int16 first (the same rounding
-    every coded wire applies). Dispatches to the C kernel when available;
-    the numpy path is bit-exact with it.
+    every coded wire applies). Dispatches to the C kernels when available
+    (the tuned 3/4 kernel for (3, 4), the generic polyphase otherwise);
+    the numpy path is bit-exact with both.
     """
     x = round_to_int16(x)
-    n_out = 3 * x.shape[0] // 4
-    taps = design_taps34(int(sr), float(pass_hz))
-    from orcai_tpu.native import resample34_native
+    n_out = L * x.shape[0] // M
+    taps = design_taps(int(sr), float(pass_hz), L, M)
+    from orcai_tpu.native import resample34_native, resample_poly_native
 
-    out = resample34_native(x, taps, n_out)
+    if (L, M) == (3, 4):
+        out = resample34_native(x, taps, n_out)
+    else:
+        out = resample_poly_native(x, taps, L, M, n_out)
     if out is not None:
         return out
-    return _resample34_numpy(x, taps, n_out)
+    return _resample_poly_numpy(x, taps, L, M, n_out)
+
+
+def resample34(x: np.ndarray, sr: int, pass_hz: float) -> np.ndarray:
+    """Resample int16 PCM by exactly 3/4 (len 3*n//4), zero net delay."""
+    return resample_poly(x, sr, pass_hz, 3, 4)
 
 
 def spectral_geometry(
-    sr: int, n_fft: int, hop: int, freq_range
+    sr: int, n_fft: int, hop: int, freq_range, L: int = 3, M: int = 4
 ) -> tuple[int, int, int, float] | None:
-    """(sr*3/4, n_fft*3/4, hop*3/4, pass_hz), or None if the 3/4 transform
+    """(sr*L/M, n_fft*L/M, hop*L/M, pass_hz), or None if the L/M transform
     cannot hold the spectrogram grid exactly for these parameters.
 
-    Requirements: sr/n_fft/hop divisible by 4 (integer scaled geometry on
-    the same 93.75 Hz-class bin grid), the retained band must survive under
-    the new Nyquist, and the alias transition band must be wide enough for
-    a filter inside the kernel's tap budget (>= 1% of sr keeps it ~O(400)
-    taps; narrower bands mean freq_range nearly fills the output Nyquist
-    and the 3/4 trick buys nothing anyway).
+    Requirements: sr/n_fft/hop divisible by M (integer scaled geometry on
+    the same 93.75 Hz-class bin grid; hop % M == 0 also makes the frame
+    count 1 + (L*n//M) // (L*hop//M) == 1 + n // hop for EVERY n, since
+    (L*r)//M <= (L*(hop-1))//M < L*hop//M for r < hop), the retained band
+    must survive under the new Nyquist, and the alias transition band must
+    be wide enough for a filter inside the kernel's tap budget (>= 1% of
+    sr; narrower bands mean freq_range nearly fills the output Nyquist and
+    the transform buys nothing anyway).
     """
     from orcai_tpu.ops.frontend import fft_frequencies, freq_crop_indices
 
-    if sr % 4 or n_fft % 4 or hop % 4 or n_fft % hop:
+    if sr % M or n_fft % M or hop % M or n_fft % hop:
         return None
     freqs = fft_frequencies(sr, n_fft)
     try:
@@ -176,29 +219,37 @@ def spectral_geometry(
     except ValueError:
         return None
     pass_hz = float(freqs[hi_idx - 1])
-    if 0.75 * sr - 2.0 * pass_hz < 0.01 * sr:
+    if (L / M) * sr - 2.0 * pass_hz < 0.01 * sr:
         return None
-    return 3 * sr // 4, 3 * n_fft // 4, 3 * hop // 4, pass_hz
+    return L * sr // M, L * n_fft // M, L * hop // M, pass_hz
 
 
 def spectral_downsample(
-    audio: np.ndarray, sr: int, n_fft: int, hop: int, freq_range
+    audio: np.ndarray,
+    sr: int,
+    n_fft: int,
+    hop: int,
+    freq_range,
+    ratio: tuple[int, int] = (3, 4),
 ) -> tuple[np.ndarray, int, int, int] | None:
-    """Apply the spectral transform: (audio34, sr', n_fft', hop') or None.
+    """Apply the spectral transform: (audio_lm, sr', n_fft', hop') or None.
 
     None means the geometry cannot hold the grid — callers run the base
     codec at the native rate instead (the documented fallback of the
-    sp-* wires).
+    spectral wires).
     """
-    geo = spectral_geometry(sr, n_fft, hop, freq_range)
+    L, M = ratio
+    geo = spectral_geometry(sr, n_fft, hop, freq_range, L, M)
     if geo is None:
         return None
-    sr34, n_fft34, hop34, pass_hz = geo
-    return resample34(audio, sr, pass_hz), sr34, n_fft34, hop34
+    sr_lm, n_fft_lm, hop_lm, pass_hz = geo
+    return resample_poly(audio, sr, pass_hz, L, M), sr_lm, n_fft_lm, hop_lm
 
 
 __all__ = [
+    "design_taps",
     "design_taps34",
+    "resample_poly",
     "resample34",
     "spectral_geometry",
     "spectral_downsample",

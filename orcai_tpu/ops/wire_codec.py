@@ -314,7 +314,9 @@ def bfp_decode_wire_i16(buf, mant_bits: int = 6):
     return bfp_decode_i16(packed, shifts, mant_bits)
 
 
-WIRE_CODECS = ("exact", "mulaw8", "bfp6", "bfp5", "sp-bfp6", "sp-bfp5")
+WIRE_CODECS = (
+    "exact", "mulaw8", "bfp6", "bfp5", "sp-bfp6", "sp-bfp5", "sp11-bfp5"
+)
 
 
 def wire_bfp_bits(wire: str) -> int:
@@ -323,16 +325,36 @@ def wire_bfp_bits(wire: str) -> int:
 
 
 def spectral_wire_base(wire: str) -> str | None:
-    """Base byte codec of a spectral ("sp-") wire, None for plain wires.
+    """Base byte codec of a spectral ("sp-"/"sp11-") wire, None for plain
+    wires.
 
-    The sp-* wires (ops/spectral.py) resample the audio by 3/4 on host —
-    dropping the band the frontend crops anyway — and then ship the 36 kHz
-    class samples through the named base codec, stacking to 0.75x its
-    bytes per native-rate sample. Consumers that cannot regrid (the
-    streaming predictor; geometries where the 3/4 transform can't hold the
-    spectrogram grid) fall back to the base codec at the native rate.
+    The spectral wires (ops/spectral.py) resample the audio on host —
+    dropping the band the frontend crops anyway — and then ship the
+    reduced-rate samples through the named base codec, stacking to L/M of
+    its bytes per native-rate sample (sp-* = 3/4, sp11-* = 11/16).
+    Consumers that cannot regrid (the streaming predictor; geometries
+    where the transform can't hold the spectrogram grid) fall back to the
+    base codec at the native rate.
     """
-    return {"sp-bfp6": "bfp6", "sp-bfp5": "bfp5"}.get(wire)
+    return {"sp-bfp6": "bfp6", "sp-bfp5": "bfp5", "sp11-bfp5": "bfp5"}.get(
+        wire
+    )
+
+
+def spectral_wire_ratio(wire: str) -> tuple[int, int]:
+    """Resample ratio (L, M) of a spectral wire: output rate = sr * L / M.
+
+    sp-* is the conservative 3/4 (transition band ~4 kHz at the reference
+    geometry, ~160 filter taps); sp11-* is the near-optimal 11/16 (output
+    Nyquist 516 Hz above the retained band at the reference geometry,
+    ~2400 taps — still cheap next to the link, see ops/spectral.py). Both
+    land on the IDENTICAL spectrogram grid. Raises for non-spectral wires.
+    """
+    if wire.startswith("sp11-"):
+        return 11, 16
+    if wire.startswith("sp-"):
+        return 3, 4
+    raise ValueError(f"not a spectral wire: {wire!r}")
 
 
 def bfp_streaming_aligned(n_fft: int, hop: int) -> bool:
@@ -359,6 +381,7 @@ def wire_bytes_per_sample(wire: str) -> float:
         "bfp5": bfp_bytes_per_sample(5),
         "sp-bfp6": 0.75 * bfp_bytes_per_sample(6),
         "sp-bfp5": 0.75 * bfp_bytes_per_sample(5),
+        "sp11-bfp5": 11 / 16 * bfp_bytes_per_sample(5),
     }[wire]
 
 

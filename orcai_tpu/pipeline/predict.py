@@ -541,11 +541,14 @@ def predict(
     the bytes); "bfp6"/"bfp5" ship packed block-floating-point mantissas
     (0.76 / 0.63 bytes per sample); "sp-bfp6"/"sp-bfp5" first resample 3/4
     on host — dropping only the band the frontend crops — and ship the
-    base codec (0.57 / 0.47 bytes per native-rate sample, ops/spectral.py)
-    — all coded wires hold annotation-level parity
+    base codec (0.57 / 0.47 bytes per native-rate sample, ops/spectral.py);
+    "sp11-bfp5" resamples 11/16 instead (0.44 bytes per native-rate
+    sample, within 3% of the crop's information floor, slightly more
+    near-threshold flicker) — all coded wires hold annotation-level parity
     (tests/test_wire_codec.py, tests/test_spectral.py, PERFORMANCE.md wire
     lab); None/"auto" -> ORCAI_TPU_WIRE env var, else sp-bfp5 on TPU and
-    exact elsewhere (sp-bfp6 remains opt-in for more SNR headroom).
+    exact elsewhere (sp-bfp6 remains opt-in for more SNR headroom, sp11
+    for minimum link bytes).
 
     ORCAI_TPU_PREDICT_DTYPE=bf16 runs the CRNN forward in bfloat16
     (parameters stay float32): ~16% off the per-recording device compute

@@ -350,7 +350,7 @@ def test_streaming_predictor_strips_spectral_wire():
     assert s5.wire == "bfp5"
 
 
-@pytest.mark.parametrize("wire", ["sp-bfp6", "sp-bfp5"])
+@pytest.mark.parametrize("wire", ["sp-bfp6", "sp-bfp5", "sp11-bfp5"])
 def test_golden_predict_sp_wire_annotation_parity(tmp_path, wire):
     """e2e: spectral-wire predictions on the golden wav hold the base-codec
     parity band after dropping degenerate zero-length detections.
@@ -394,6 +394,41 @@ def test_golden_predict_sp_wire_annotation_parity(tmp_path, wire):
         for col in ("start", "stop"):
             np.testing.assert_allclose(got[col], expected[col], atol=tol)
         return
+    if wire == "sp11-bfp5":
+        # the lowest-bitrate wire trades the last 8% of bytes for slightly
+        # more near-threshold flicker: a long call may split across a
+        # sub-second probability dip and a sub-0.25 s call may drop. The
+        # criterion is therefore interval COVERAGE (the bench wire.parity
+        # methodology): every expected call >= 0.25 s must be >= 90%
+        # covered by same-label predictions, and every prediction must lie
+        # inside (tol of) some same-label expected call — no hallucinated
+        # content, no lost content beyond sub-second flickers.
+        lost_short = 0
+        for _, e in expected.iterrows():
+            same = got[got["label"] == e["label"]]
+            cov = sum(
+                max(0.0, min(g["stop"], e["stop"]) - max(g["start"], e["start"]))
+                for _, g in same.iterrows()
+            )
+            dur = e["stop"] - e["start"]
+            if dur < 0.25 and cov < 0.9 * dur:
+                lost_short += 1  # lost or clipped sub-second flicker
+                continue
+            assert cov >= 0.9 * dur, f"under-covered: {dict(e)} cov={cov}"
+        assert lost_short <= 2, lost_short
+        outside = [
+            g
+            for _, g in got.iterrows()
+            if not any(
+                g["start"] >= e["start"] - tol and g["stop"] <= e["stop"] + tol
+                for _, e in expected[expected["label"] == g["label"]].iterrows()
+            )
+        ]
+        # near-threshold flickers (the golden list itself carries one
+        # zero-length WHISTLE the >0-duration filter above drops)
+        assert len(outside) <= 2, outside
+        assert all(g["stop"] - g["start"] < 0.5 for g in outside), outside
+        return
     # sp-bfp5: every golden call matched (label + boundaries within tol),
     # greedily pairing each expected row with an unused predicted row
     used = set()
@@ -414,3 +449,155 @@ def test_golden_predict_sp_wire_annotation_parity(tmp_path, wire):
     assert ((residual["stop"] - residual["start"]) < 0.5).all(), (
         residual.to_string()
     )
+
+
+# ----------------------------------------------------------- sp11 (11/16)
+
+
+def test_sp11_taps_geometry():
+    from orcai_tpu.ops.spectral import _PAD, design_taps
+
+    taps = design_taps(SR, PASS_HZ, 11, 16)
+    n = len(taps)
+    assert n % 2 == 1 and ((n - 1) // 2) % 11 == 0
+    t64 = taps.astype(np.int64)
+    # per-phase L1 bounds the int32 accumulator; per-phase tap count fits
+    # the kernel padding budget
+    assert max(int(np.abs(t64[p::11]).sum()) for p in range(11)) < 65536
+    assert (n + 10) // 11 + 8 <= _PAD
+    # the generic designer at (3, 4) IS the 3/4 design
+    np.testing.assert_array_equal(design_taps(SR, PASS_HZ, 3, 4),
+                                  design_taps34(SR, PASS_HZ))
+
+
+@pytest.mark.parametrize("L,M,pass_hz", [(11, 16, PASS_HZ), (2, 3, 12000.0)])
+def test_sp11_native_matches_numpy_bit_exact(L, M, pass_hz):
+    from orcai_tpu.native import native_available, resample_poly_native
+    from orcai_tpu.ops.spectral import _resample_poly_numpy, design_taps
+
+    if not native_available():
+        pytest.skip("no C toolchain")
+    taps = design_taps(SR, pass_hz, L, M)
+    rng = np.random.default_rng(3)
+    for n in (0, 1, M - 1, M, 12345, 100_001):
+        x = rng.integers(-32768, 32768, n).astype(np.int16)
+        n_out = L * n // M
+        y_np = _resample_poly_numpy(x, taps, L, M, n_out)
+        y_c = resample_poly_native(x, taps, L, M, n_out)
+        assert y_c is not None
+        np.testing.assert_array_equal(y_np, y_c, err_msg=f"n={n}")
+
+
+def test_sp11_tone_snr_and_alias():
+    """Gain-fitted in-band SNR (the Q15 L1 rescale applies a ~0.78 constant
+    gain — a constant dB shift that cancels through the normalize chain,
+    same argument as the 3/4 design's ~0.99) and alias-fold rejection."""
+    from orcai_tpu.ops.spectral import resample_poly
+
+    n = SR * 5
+    t = np.arange(n) / SR
+    for f in (1000.0, 8000.0, 15000.0):
+        x = np.rint(0.5 * 32767 * np.sin(2 * np.pi * f * t)).astype(np.int16)
+        y = resample_poly(x, SR, PASS_HZ, 11, 16)
+        ty = np.arange(len(y)) / 33000
+        ideal = 0.5 * 32767 * np.sin(2 * np.pi * f * ty)
+        s = slice(5000, len(y) - 5000)
+        g = np.dot(y[s], ideal[s]) / np.dot(ideal[s], ideal[s])
+        assert 0.5 < g < 1.05
+        err = y[s] - g * ideal[s]
+        snr = 10 * np.log10(((g * ideal[s]) ** 2).mean() / (err**2).mean())
+        assert snr > 60.0, (f, snr)
+    # a 17.5 kHz tone folds to 15.5 kHz (inside the retained band) and must
+    # be stopped by the filter
+    x = np.rint(0.5 * 32767 * np.sin(2 * np.pi * 17500.0 * t)).astype(np.int16)
+    y = resample_poly(x, SR, PASS_HZ, 11, 16)
+    rms = np.sqrt((y[5000:-5000].astype(np.float64) ** 2).mean())
+    assert 20 * np.log10(rms / (0.5 * 32767) + 1e-12) < -70.0
+
+
+def test_sp11_frame_count_parity_every_remainder():
+    """1 + (11n//16)//(11*hop//16) == 1 + n//hop for every length class."""
+    for n in range(5 * HOP, 5 * HOP + 4 * HOP + 7):
+        assert 1 + (11 * n // 16) // (11 * HOP // 16) == 1 + n // HOP, n
+    rng = np.random.default_rng(0)
+    for n in rng.integers(10 * HOP, 60_000_000, 300):
+        assert 1 + (11 * n // 16) // (11 * HOP // 16) == 1 + n // HOP, n
+
+
+def test_sp11_geometry_gates_and_registry():
+    from orcai_tpu.ops.wire_codec import spectral_wire_ratio
+
+    assert spectral_geometry(SR, NFFT, HOP, [0, 16000], 11, 16) == (
+        33000, 352, 176, PASS_HZ,
+    )
+    # 44100 regrids under 3/4 (divisible by 4) but NOT under 11/16
+    assert spectral_geometry(44100, NFFT, HOP, [0, 16000], 3, 4) is not None
+    assert spectral_geometry(44100, NFFT, HOP, [0, 16000], 11, 16) is None
+    assert spectral_wire_ratio("sp11-bfp5") == (11, 16)
+    assert spectral_wire_ratio("sp-bfp5") == (3, 4)
+    assert spectral_wire_base("sp11-bfp5") == "bfp5"
+    assert resolve_wire("sp11-bfp5") == "sp11-bfp5"
+    assert wire_bytes_per_sample("sp11-bfp5") == pytest.approx(
+        11 / 16 * wire_bytes_per_sample("bfp5")
+    )
+    assert wire_bytes_per_sample("sp11-bfp5") < 0.44
+
+
+def test_sp11_frontend_plumbing_and_values():
+    """sp11-bfp5 == bfp5 on the pre-resampled audio at (33000, 352, 176)
+    (plumbing equality); the resample alone adds ~nothing vs the 48 kHz
+    exact spectrogram (measured mean 3.5e-4 / p99 3.2e-3) and the full
+    wire sits in bfp5's own band (measured 0.088 vs bfp5-alone 0.075);
+    non-divisible rates fall back to base-at-native-rate exactly."""
+    from orcai_tpu.ops.frontend import compute_spectrogram
+    from orcai_tpu.ops.spectral import resample_poly
+
+    x = _bandlimited_audio()
+    spec48, _, times48 = compute_spectrogram(
+        x, SR, NFFT, HOP, [0, 16000], [0.01, 0.999], wire="exact"
+    )
+    y = resample_poly(x, SR, PASS_HZ, 11, 16)
+    spec33, freqs33, times33 = compute_spectrogram(
+        y, 33000, 352, 176, [0, 16000], [0.01, 0.999], wire="exact"
+    )
+    assert spec33.shape == spec48.shape
+    np.testing.assert_allclose(times33, times48, rtol=0, atol=1e-12)
+    d = np.abs(spec33 - spec48)
+    assert float(d.mean()) < 0.002 and float(np.percentile(d, 99)) < 0.01
+
+    spec_sp, _, _ = compute_spectrogram(
+        x, SR, NFFT, HOP, [0, 16000], [0.01, 0.999], wire="sp11-bfp5"
+    )
+    ds = spectral_downsample(x, SR, NFFT, HOP, [0, 16000], ratio=(11, 16))
+    x11, sr11, nfft11, hop11 = ds
+    spec_base, _, _ = compute_spectrogram(
+        x11, sr11, nfft11, hop11, [0, 16000], [0.01, 0.999], wire="bfp5"
+    )
+    np.testing.assert_array_equal(spec_sp, spec_base)
+    dsp = np.abs(spec_sp - spec48)
+    assert float(dsp.mean()) < 0.13 and float(np.percentile(dsp, 99)) < 0.45
+
+    spec_fb, _, _ = compute_spectrogram(
+        x[: SR // 2 * 7], 44100, NFFT, HOP, [0, 16000], [0.01, 0.999],
+        wire="sp11-bfp5",
+    )
+    spec_b5, _, _ = compute_spectrogram(
+        x[: SR // 2 * 7], 44100, NFFT, HOP, [0, 16000], [0.01, 0.999],
+        wire="bfp5",
+    )
+    np.testing.assert_array_equal(spec_fb, spec_b5)
+
+
+def test_streaming_predictor_strips_sp11_wire():
+    from orcai_tpu.ops.streaming import StreamingPredictor
+
+    class _WP:
+        batch_size = 8
+        snippet_len = 16
+        shift = 4
+        down = 16
+
+    sp = dict(sampling_rate=48000, nfft=512, n_overlap=256,
+              freq_range=[0, 16000], quantiles=[0.01, 0.999])
+    s = StreamingPredictor(_WP(), sp, wire="sp11-bfp5")
+    assert s.wire == "bfp5"
