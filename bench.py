@@ -466,17 +466,22 @@ def measure_tpu_predict(model_dir: Path) -> dict:
     # it (ops/spectral.spectral_geometry); otherwise the timed passes shipped
     # the plain base codec at the native rate — the floor analysis must
     # price the EFFECTIVE wire, not the requested name
-    from orcai_tpu.ops.wire_codec import spectral_wire_base
+    from orcai_tpu.ops.wire_codec import (
+        spectral_wire_base,
+        spectral_wire_ratio,
+    )
 
     sp_base = spectral_wire_base(wire_codec)
     sp_geo = None
+    sp_ratio = None
     if sp_base is not None:
         from orcai_tpu.ops.spectral import spectral_geometry
 
         sp_par = orcai_parameter["spectrogram"]
+        sp_ratio = spectral_wire_ratio(wire_codec)
         sp_geo = spectral_geometry(
             sp_par["sampling_rate"], sp_par["nfft"],
-            sp_par["n_overlap"], sp_par["freq_range"],
+            sp_par["n_overlap"], sp_par["freq_range"], *sp_ratio,
         )
         if sp_geo is None:
             wire_codec = sp_base
@@ -531,18 +536,22 @@ def measure_tpu_predict(model_dir: Path) -> dict:
         ).astype(np.int16)
         base = spectral_wire_base(wire_codec) or wire_codec
         if sp_geo is not None:
-            # sp-* wires: the host encode is resample34 THEN the base codec
-            # — the probe must price both stages (the resample is the new
-            # critical-path host loop)
-            from orcai_tpu.ops.spectral import resample34
+            # spectral wires: the host encode is the L/M resample THEN the
+            # base codec — the probe must price both stages with the
+            # kernel the wire actually runs (the resample is the new
+            # critical-path host loop; the generic kernel is ~2.5x slower
+            # than the tuned 3/4 one, so probing the wrong kernel would
+            # fake the provenance)
+            from orcai_tpu.ops.spectral import resample_poly
 
             sp_sr, sp_pass_hz = orcai_parameter["spectrogram"][
                 "sampling_rate"
             ], sp_geo[3]
+            sp_l, sp_m = sp_ratio
 
             def enc():
                 return bfp_encode(
-                    resample34(probe, sp_sr, sp_pass_hz),
+                    resample_poly(probe, sp_sr, sp_pass_hz, sp_l, sp_m),
                     wire_bfp_bits(base),
                 )
         elif base == "mulaw8":

@@ -15,6 +15,7 @@ from pathlib import Path
 import click
 
 from orcai_tpu import __version__
+from orcai_tpu.ops.wire_names import WIRE_CODECS
 from orcai_tpu.resources import (
     DEFAULT_CALL_DURATION_LIMITS,
     DEFAULT_HPS_PARAMETER,
@@ -116,8 +117,7 @@ def cli():
               show_default=True,
               help="Window batch size for on-device inference.")
 @click.option("--wire_codec", "-wc", "wire",
-              type=click.Choice(["auto", "exact", "mulaw8", "bfp6", "bfp5",
-                                 "sp-bfp6", "sp-bfp5", "sp11-bfp5"]),
+              type=click.Choice(["auto", *WIRE_CODECS]),
               default="auto", show_default=True,
               help="Host->device audio byte format: exact PCM; 8-bit "
                    "mu-law codes (1 byte/sample, 38 dB SNR); packed "
@@ -178,8 +178,7 @@ def cli_predict(**kwargs):
               show_default=True,
               help="Window batch size for on-device inference.")
 @click.option("--wire_codec", "-wc", "wire",
-              type=click.Choice(["auto", "exact", "mulaw8", "bfp6", "bfp5",
-                                 "sp-bfp6", "sp-bfp5", "sp11-bfp5"]),
+              type=click.Choice(["auto", *WIRE_CODECS]),
               default="auto", show_default=True,
               help="Host->device audio byte format (see `orcai predict`).")
 @click.option("--poll_seconds", "-ps", type=float, default=2.0,
@@ -230,8 +229,7 @@ def cli_serve(**kwargs):
               show_default=True,
               help="Window batch size (must match production predicts).")
 @click.option("--wire_codec", "-wc", "wire",
-              type=click.Choice(["auto", "exact", "mulaw8", "bfp6", "bfp5",
-                                 "sp-bfp6", "sp-bfp5", "sp11-bfp5"]),
+              type=click.Choice(["auto", *WIRE_CODECS]),
               default="auto", show_default=True,
               help="Wire codec to warm (must match production predicts; "
               "the frontends differ per codec).")

@@ -300,6 +300,10 @@ def resample_poly_native(
     Raises ValueError on a geometry the C kernel rejects — the designer
     never produces one, so a rejection is a bug, not a fallback case.
     """
+    if int(L) > 64:
+        # beyond the C kernel's per-phase stack arrays; no grid-preserving
+        # ratio needs it — the numpy path handles exotic callers
+        return None
     lib = _load_wirecodec()
     if lib is None:
         return None

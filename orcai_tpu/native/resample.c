@@ -411,7 +411,9 @@ int64_t orcai_resample_poly(const int16_t *x, int64_t n_in,
 {
     if (n_in < 0 || n_out < 0 || n_taps < 1 || (n_taps & 1) == 0)
         return -1;
-    if (L < 1 || M <= L)
+    /* L bounds the per-phase stack arrays in rs_poly_run (kpads/nqs/offs
+     * are 64 entries); any useful grid-preserving ratio is far below it */
+    if (L < 1 || L > 64 || M <= L)
         return -1;
     const int64_t c = (n_taps - 1) / 2;
     if (c % L)

@@ -314,9 +314,8 @@ def bfp_decode_wire_i16(buf, mant_bits: int = 6):
     return bfp_decode_i16(packed, shifts, mant_bits)
 
 
-WIRE_CODECS = (
-    "exact", "mulaw8", "bfp6", "bfp5", "sp-bfp6", "sp-bfp5", "sp11-bfp5"
-)
+from orcai_tpu.ops.wire_names import WIRE_CODECS  # noqa: E402 — re-export;
+# the names live in a jax-free module so the CLI can import them cheaply
 
 
 def wire_bfp_bits(wire: str) -> int:

@@ -108,7 +108,9 @@ def warmup(
     verbose: bool = True,
     wire: str | None = None,
 ) -> int:
-    """Compile predict executables for every bucket; returns bucket count.
+    """Compile every reachable predict executable up to max_minutes;
+    returns the number of warmed lengths (one per executable signature —
+    frame bucket x chunk plan — typically several per frame bucket).
 
     `wire` must match the codec production predicts will use
     (ops/wire_codec.py): the packed-bfp, uint8 (mulaw8) and int16 (exact)
@@ -157,7 +159,7 @@ def warmup(
         if verbose:
             print(
                 f"[{i + 1}/{len(counts)}] {n / sp['sampling_rate'] / 60:6.1f} min "
-                f"bucket ready in {time.time() - t0:.1f} s",
+                f"shape ready in {time.time() - t0:.1f} s",
                 flush=True,
             )
     return len(counts)
@@ -165,8 +167,8 @@ def warmup(
 
 def main() -> None:
     ap = argparse.ArgumentParser(
-        description="pre-compile predict executables for all recording-length "
-        "buckets up to --minutes"
+        description="pre-compile every reachable predict executable "
+        "(frame bucket x chunk plan) up to --minutes"
     )
     ap.add_argument("--minutes", type=float, default=90.0)
     ap.add_argument("--model_dir", default=None,
@@ -179,7 +181,7 @@ def main() -> None:
     args = ap.parse_args()
     n = warmup(args.minutes, args.model_dir, args.batch_size,
                wire=args.wire_codec)
-    print(f"warmed {n} recording-length buckets")
+    print(f"warmed {n} recording-length executables")
 
 
 if __name__ == "__main__":
