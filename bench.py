@@ -42,9 +42,10 @@ Measurement protocol (why it is shaped this way):
   and >1 utilization just means the passes caught a faster phase than
   both probes). On this tunnel
   (~40-60 MB/s) the pipeline runs AT the floor; on any directly-attached
-  TPU host the same pipeline is compute-bound at a measured 0.333 s per
-  20-min recording (~60 rec-hr/min per chip,
-  tools/compute_floor_probe.py).
+  TPU host the same pipeline is compute-bound at a measured ~0.25-0.27 s
+  per 20-min recording (~75-80 rec-hr/min per chip,
+  tools/compute_floor_probe.py — proven to be genuine device execution,
+  not dispatch overhead, by the fused single-program A/B there).
 - Because the headline path runs the lossy wire codec, every bench run
   re-verifies annotation-level parity: one recording is re-predicted with
   the exact int16 wire and its output TSV diffed against the coded-wire one

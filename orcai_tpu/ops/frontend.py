@@ -224,7 +224,16 @@ def _build_tile_mag_fn(
         tile_max = jnp.max(jnp.where(valid, mag, -jnp.inf))
         return mag[:, lo_idx:hi_idx], tile_max
 
-    return lambda audio_tile, n_valid: tile_fn(audio_tile, n_valid, C_dev, S_dev)
+    def wrapper(audio_tile, n_valid):
+        return tile_fn(audio_tile, n_valid, C_dev, S_dev)
+
+    # the fused floor pass (tools/compute_floor_probe.py) inlines the tile
+    # body into ONE program — it needs the explicit-matrix jitted fn (inner)
+    # and the resident DFT matrices to pass as arguments (embedding them as
+    # trace constants would stall compiles and defeat the persistent cache)
+    wrapper.inner = tile_fn
+    wrapper.dft_mats = (C_dev, S_dev)
+    return wrapper
 
 
 def mxu_select_enabled() -> bool:
