@@ -841,7 +841,10 @@ def main() -> None:
         from orcai_tpu.tools.compute_floor_probe import measure as _floor
 
         report["compute_floor"] = {
-            "f32": _floor(5, "f32"),
+            # f32 runs the fused single-program A/B so the artifact itself
+            # carries the dispatch-overhead bound and the bit-equality
+            # cross-check (fused_vs_staged_max_abs_diff)
+            "f32": _floor(5, "f32", mode="both"),
             "bf16": _floor(5, "bf16"),
         }
     except Exception as exc:  # noqa: BLE001
