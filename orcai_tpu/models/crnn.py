@@ -110,10 +110,21 @@ class ResNetLSTM(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, return_logits: bool = False):
-        x = ResNetTrunk(
-            self.filters, self.kernel_size, dtype=self.dtype, name="trunk"
-        )(x, train=train)
+    def __call__(self, x, train: bool = False, return_logits: bool = False,
+                 trunk_only: bool = False, head_input: bool = False):
+        # trunk_only / head_input split the graph for the dense-trunk
+        # inference mode (ops/overlap.py): the conv trunk runs ONCE over a
+        # slab of consecutive overlapping windows (they share 50% of their
+        # frames), then only the sequence head runs per window. Submodule
+        # names are explicit, so apply() binds the same parameter tree on
+        # every path (flax creates compact submodules lazily — skipped
+        # branches simply leave their params unread).
+        if not head_input:
+            x = ResNetTrunk(
+                self.filters, self.kernel_size, dtype=self.dtype, name="trunk"
+            )(x, train=train)
+            if trunk_only:
+                return x
 
         b, t, f, c = x.shape
         x = x.reshape(b, t, f * c)  # (B, 46, 11*36) — freq-major like Keras Reshape
@@ -148,15 +159,19 @@ class ResNet1DConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, return_logits: bool = False):
-        x = ResNetTrunk(
-            self.filters,
-            self.kernel_size,
-            dropout_rate=self.dropout_rate,
-            block_dropout=True,
-            dtype=self.dtype,
-            name="trunk",
-        )(x, train=train)
+    def __call__(self, x, train: bool = False, return_logits: bool = False,
+                 trunk_only: bool = False, head_input: bool = False):
+        if not head_input:
+            x = ResNetTrunk(
+                self.filters,
+                self.kernel_size,
+                dropout_rate=self.dropout_rate,
+                block_dropout=True,
+                dtype=self.dtype,
+                name="trunk",
+            )(x, train=train)
+            if trunk_only:
+                return x
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
 
         x = jnp.mean(x, axis=2)  # reduce frequency axis -> (B, T, C)
@@ -198,10 +213,14 @@ class ResNetTCN(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, return_logits: bool = False):
-        x = ResNetTrunk(
-            self.filters, self.kernel_size, dtype=self.dtype, name="trunk"
-        )(x, train=train)
+    def __call__(self, x, train: bool = False, return_logits: bool = False,
+                 trunk_only: bool = False, head_input: bool = False):
+        if not head_input:
+            x = ResNetTrunk(
+                self.filters, self.kernel_size, dtype=self.dtype, name="trunk"
+            )(x, train=train)
+            if trunk_only:
+                return x
 
         b, t, f, c = x.shape
         x = x.reshape(b, t, f * c)

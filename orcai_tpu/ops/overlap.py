@@ -65,6 +65,7 @@ class WindowPredictor:
         batch_size: int = 128,
         max_windows_per_chunk: int = 2048,
         mesh=None,
+        dense_trunk: bool | None = None,
     ):
         self.model = model
         self.mesh = mesh if mesh is not None and mesh.shape["data"] > 1 else None
@@ -99,6 +100,37 @@ class WindowPredictor:
             self.batch_size,
             max_windows_per_chunk // self.batch_size * self.batch_size,
         )
+        # dense-trunk inference (opt-in, ORCAI_TPU_DENSE_TRUNK=1): run the
+        # conv trunk ONCE over slabs of consecutive windows — 50%-overlapping
+        # windows recompute every trunk frame twice in the windowed path —
+        # and window only the sequence head's inputs on the trunk-step grid.
+        # Exact overlap-save: each slab carries a halo >= the trunk's
+        # receptive-field radius, so interior trunk steps are identical to a
+        # monolithic dense trunk (tested); the numerics differ from the
+        # windowed path only where the reference's per-window zero padding
+        # differed from seeing the real neighboring frames. Requires the
+        # architecture to expose trunk_only/head_input (all three do) and a
+        # single-device predictor (the sharded path stays windowed).
+        # OFF by default because it is MEASURED SLOWER on TPU v5e: the conv
+        # emitter's per-position throughput collapses with spatial height
+        # (5.4 Mpos/s at (128,736) vs 0.8-2.0 at slab shapes, amortized
+        # sweep in PERFORMANCE.md "Measured-worse lever: dense trunk"), so
+        # the ~1.9x FLOP dedup loses ~3x net. Kept exact + tested for
+        # backends whose convs don't pay the tall-shape penalty.
+        if dense_trunk is None:
+            import os
+
+            dense_trunk = os.environ.get("ORCAI_TPU_DENSE_TRUNK") == "1"
+        self.dense_trunk = bool(dense_trunk) and self.mesh is None
+        # trunk receptive-field radius in input frames: entry conv (k//2)
+        # + per block b: two separable convs (2 * 2^b * (k//2)) + pool3
+        # (2^b) + head separable conv (2^n_filters * (k//2)), rounded up to
+        # the downsample grid so slab starts stay pool-aligned
+        k_half = getattr(model, "kernel_size", 3) // 2
+        radius = k_half + sum(
+            (2 * k_half + 1) * 2**b for b in range(n_filters)
+        ) + self.down * k_half
+        self.halo = -(-radius // self.down) * self.down
         self._chunk_fns: dict[tuple, object] = {}
         self._pad_fns: dict[tuple, object] = {}
         self._zero_fns: dict[tuple, object] = {}
@@ -265,6 +297,108 @@ class WindowPredictor:
 
         return chunk_fn
 
+    def _dense_slab_windows(self, wpc: int) -> int:
+        """Windows per trunk slab: bounds the slab's trunk activation
+        footprint (a 33-window slab at the flagship geometry holds a
+        ~165 MB entry-conv activation vs ~2.9 GB for a whole 640-window
+        chunk) while keeping the trunk dedup near 2x: trunk frames per
+        window = (S+1)/S * shift + 2*halo/S ~ 381 vs the windowed path's
+        736 at S=32. Must divide wpc; ladder chunk sizes are batch-size
+        multiples, so 32 works whenever 32 | wpc."""
+        for s in (32, self.batch_size, wpc):
+            if wpc % s == 0:
+                return min(s, wpc)
+        return wpc
+
+    def _build_dense_chunk_fn(self, spec_len: int, n_bins: int, wpc: int):
+        """Dense-trunk variant of _build_chunk_fn — same signature, same
+        donated global output grid, same scatter-add tail.
+
+        Structure per chunk: pad the spectrogram once with `halo` zero rows
+        on both sides (so every slab slice is in range and recording edges
+        see zeros, exactly like the windowed path's out-of-range frames);
+        lax.map the trunk over slabs of S consecutive windows, each slab
+        reading (S+1)*shift + 2*halo frames and keeping the halo-free
+        (S+1)*shift_out trunk steps — overlap-save, exact vs a monolithic
+        dense trunk (tests/test_dense_trunk.py); form per-window head
+        inputs from adjacent step-halves (the same halves trick as the
+        windowed path, on the 16x-coarser trunk grid); then lax.map the
+        sequence head over window batches.
+        """
+        model = self.model
+        shift = self.shift
+        out_len, shift_out = self.out_len, self.shift_out
+        down, halo = self.down, self.halo
+        bsz = min(self.batch_size, wpc)
+        S = self._dense_slab_windows(wpc)
+        n_slabs = wpc // S
+        slab_len = (S + 1) * shift + 2 * halo
+        h_steps = halo // down
+        # One slab per trunk application. Batching G slabs per application
+        # was tried and measured NEUTRAL-to-worse on TPU v5e (0.340 ->
+        # 0.378 s per flagship recording): the tall-shape conv-emitter
+        # penalty depends on spatial height, not batch rows (see the
+        # constructor comment and PERFORMANCE.md's shape sweep).
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def chunk_fn(
+            agg: jnp.ndarray,
+            count: jnp.ndarray,
+            variables,
+            spec: jnp.ndarray,
+            f0: jnp.ndarray,
+            w0: jnp.ndarray,
+            n_win_valid: jnp.ndarray,
+        ):
+            n_out_pad = agg.shape[0] - 1  # last row is the trash row
+            spec_pad = (
+                jnp.zeros((spec_len + 2 * halo, n_bins), spec.dtype)
+                .at[halo : halo + spec_len]
+                .set(spec)
+            )
+
+            def slab_windows(i):
+                # absolute frame f maps to spec_pad row f + halo; slab i's
+                # span starts at absolute f0 + i*S*shift and reads halo
+                # extra frames on both sides -> row (f0 + i*S*shift)
+                sl = jax.lax.dynamic_slice(
+                    spec_pad, (f0 + i * (S * shift), 0), (slab_len, n_bins)
+                )
+                h = model.apply(
+                    variables, sl[None, :, :, None], train=False,
+                    trunk_only=True,
+                )
+                steps = jax.lax.slice_in_dim(
+                    h[0], h_steps, h_steps + (S + 1) * shift_out, axis=0
+                )
+                halves = steps.reshape(S + 1, shift_out, *steps.shape[1:])
+                return jnp.concatenate([halves[:-1], halves[1:]], axis=1)
+
+            wins = jax.lax.map(slab_windows, jnp.arange(n_slabs))
+            wins = wins.reshape(wpc, out_len, *wins.shape[3:])
+            batches = wins.reshape(wpc // bsz, bsz, *wins.shape[1:])
+            preds = jax.lax.map(
+                lambda hb: model.apply(
+                    variables, hb, train=False, head_input=True
+                ),
+                batches,
+            )
+            preds = preds.reshape(wpc, out_len, -1)
+
+            valid = jnp.arange(wpc) < n_win_valid
+            n_labels = preds.shape[-1]
+            win_ids = jnp.arange(wpc)[:, None]
+            rows = (w0 + win_ids) * shift_out + jnp.arange(out_len)[None, :]
+            rows = jnp.where(valid[:, None], rows, n_out_pad)  # trash row
+            flat_rows = rows.reshape(-1)
+            flat_preds = preds.reshape(-1, n_labels)
+
+            agg = agg.at[flat_rows].add(flat_preds)
+            count = count.at[flat_rows].add(1.0)
+            return agg, count
+
+        return chunk_fn
+
     def _ensure_device(self, spectrogram, t: int, required: int, n_bins: int):
         """Device array of shape (>= required, bins) holding the spectrogram."""
         target = _next_pow2(required)
@@ -364,12 +498,14 @@ class WindowPredictor:
         # widened when needed (see plan() for the invariant)
         agg, count = self._zero_grid(n_out_pad, self.n_labels(n_bins))
         w0 = 0
+        build = (
+            self._build_dense_chunk_fn if self.dense_trunk
+            else self._build_chunk_fn
+        )
         for wpc, n_repeat in chunks:
             key = (spec_dev.shape[0], n_bins, wpc)
             if key not in self._chunk_fns:
-                self._chunk_fns[key] = self._build_chunk_fn(
-                    spec_dev.shape[0], n_bins, wpc
-                )
+                self._chunk_fns[key] = build(spec_dev.shape[0], n_bins, wpc)
             chunk_fn = self._chunk_fns[key]
             for _ in range(n_repeat):
                 n_valid = min(wpc, n_win - w0)
