@@ -361,9 +361,15 @@ def _compare_annotations(coded: Path, exact: Path) -> dict:
         return out
 
     a, b = rows(coded), rows(exact)
-    sa, sb = set(a), set(b)
-    identical = sorted(sa & sb)
-    ra, rb = sorted(sa - sb), sorted(sb - sa)
+    # multiset diff (not set): duplicate rows — two call runs rounding to
+    # identical times — must not collapse, or the tallies would drop real
+    # discrepancies and stop summing to the reported annotation counts
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    identical = sum((ca & cb).values())
+    ra = sorted((ca - cb).elements())
+    rb = sorted((cb - ca).elements())
     tol = 2 * 16 * 256 / SR  # two aggregation rows
     shifted = 0
     used = set()
@@ -386,7 +392,7 @@ def _compare_annotations(coded: Path, exact: Path) -> dict:
     return {
         "annotations_coded": len(a),
         "annotations_exact": len(b),
-        "identical": len(identical),
+        "identical": identical,
         "boundary_shifted_le_2rows": shifted,
         "residual_coded_only": len(rest_a),
         "residual_exact_only": len(rest_b),

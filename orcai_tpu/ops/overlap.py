@@ -503,7 +503,11 @@ class WindowPredictor:
             else self._build_chunk_fn
         )
         for wpc, n_repeat in chunks:
-            key = (spec_dev.shape[0], n_bins, wpc)
+            # the dense flag is part of the key: the windowed and dense-trunk
+            # builders share this cache (and the streaming predictor reuses
+            # it with dense=False), so identical shape tuples must not alias
+            # across variants
+            key = (spec_dev.shape[0], n_bins, wpc, self.dense_trunk)
             if key not in self._chunk_fns:
                 self._chunk_fns[key] = build(spec_dev.shape[0], n_bins, wpc)
             chunk_fn = self._chunk_fns[key]

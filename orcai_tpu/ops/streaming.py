@@ -574,7 +574,10 @@ class StreamingPredictor:
             self.n_fft, self.hop, self.lo_idx, self.hi_idx, tile_frames,
             use_pallas=use_pallas,
         )
-        key = (tile_frames, n_bins, wpc)
+        # dense=False in the key: streaming always runs the windowed chunk
+        # body, and the shared cache must not alias a dense-trunk entry
+        # built by the in-memory path for the same shape tuple
+        key = (tile_frames, n_bins, wpc, False)
         if key not in wp._chunk_fns:
             wp._chunk_fns[key] = wp._build_chunk_fn(tile_frames, n_bins, wpc)
         chunk_fn = wp._chunk_fns[key]

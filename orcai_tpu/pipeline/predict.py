@@ -570,9 +570,19 @@ def predict(
     recording_path = Path(recording_path)
     msgr.part(f"Loading model: {model_dir.stem}")
 
-    model, variables, orcai_parameter, shape = load_orcai_model(
-        model_dir, dtype=resolve_predict_dtype()
-    )
+    if predictor is not None:
+        # a warmed predictor already holds the model and device-resident
+        # weights; deserializing the msgpack again per call would be pure
+        # host I/O+CPU inside e.g. bench's timed passes — only the two
+        # small JSONs are needed for the window geometry and call names
+        from orcai_tpu.io.jsonio import read_json
+
+        orcai_parameter = read_json(model_dir / "orcai_parameter.json")
+        shape = read_json(model_dir / "model_shape.json")
+    else:
+        model, variables, orcai_parameter, shape = load_orcai_model(
+            model_dir, dtype=resolve_predict_dtype()
+        )
 
     if predictor is None:
         # shard inference windows over the visible chips (SURVEY §5.7); a

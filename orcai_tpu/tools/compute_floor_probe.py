@@ -192,7 +192,7 @@ def build_fused_pass(st):
 
     chunk_fns = {}
     for wpc, _ in chunks_plan:
-        key = (spec_len, st.n_bins, wpc)
+        key = (spec_len, st.n_bins, wpc, False)  # windowed body (not dense)
         if key not in pred._chunk_fns:
             pred._chunk_fns[key] = pred._build_chunk_fn(
                 spec_len, st.n_bins, wpc

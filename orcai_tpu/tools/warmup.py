@@ -20,7 +20,7 @@ import time
 
 import numpy as np
 
-from orcai_tpu.ops.wire_codec import WIRE_CODECS
+from orcai_tpu.ops.wire_names import WIRE_CODECS  # jax-free registry module
 
 
 def bucket_sample_counts(max_minutes: float, sr: int, hop: int) -> list[int]:

@@ -174,3 +174,35 @@ def test_dense_golden_annotations_in_band(tmp_path, monkeypatch):
     extra = [r["label"] for _, r in got.iterrows() if not matched(r, exp)]
     assert not missing, f"dense mode lost golden detections: {missing}"
     assert not extra, f"dense mode invented detections: {extra}"
+
+
+def test_chunk_fn_cache_keys_carry_variant(loaded):
+    """The shared _chunk_fns cache must key on the body variant: the
+    streaming predictor (and compute_floor_probe) insert WINDOWED bodies
+    with dense=False keys, and a dense-trunk predictor must never alias
+    them for an identical (spec_len, n_bins, wpc) shape tuple."""
+    from orcai_tpu.ops.overlap import WindowPredictor
+
+    model, variables, orcai_parameter, shape = loaded
+    kwargs = dict(
+        snippet_len=shape["input_shape"][0],
+        n_filters=len(orcai_parameter["model"]["filters"]),
+        batch_size=4,
+        max_windows_per_chunk=8,
+    )
+    dense = WindowPredictor(model, variables, dense_trunk=True, **kwargs)
+    rng = np.random.default_rng(0)
+    spec = rng.random(
+        (7 * dense.shift + dense.snippet_len, shape["input_shape"][1]),
+        np.float32,
+    )
+    dense.aggregate(spec)
+    assert dense._chunk_fns, "aggregate should have cached a chunk fn"
+    assert all(k[-1] is True for k in dense._chunk_fns), (
+        "dense-trunk entries must be keyed dense=True so windowed lookups "
+        f"(streaming, floor probe) cannot alias them: {set(dense._chunk_fns)}"
+    )
+
+    windowed = WindowPredictor(model, variables, dense_trunk=False, **kwargs)
+    windowed.aggregate(spec)
+    assert all(k[-1] is False for k in windowed._chunk_fns)

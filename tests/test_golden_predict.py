@@ -95,3 +95,34 @@ def test_invalid_predict_dtype_rejected(tmp_path, monkeypatch):
             msgr=Messenger(verbosity=0),
             verbosity=0,
         )
+
+
+def test_warmed_predictor_reuse_matches_golden_tsv(tmp_path, predictions):
+    """predict(predictor=...) — the warmed-predictor path bench and serve
+    rely on — must skip the per-call weight deserialization and still
+    produce the identical TSV."""
+    from orcai_tpu.io.model_store import load_orcai_model
+    from orcai_tpu.ops.overlap import WindowPredictor
+
+    model_dir = MODELS_DATA_DIR / "orcai-v1"
+    model, variables, orcai_parameter, shape = load_orcai_model(model_dir)
+    predictor = WindowPredictor(
+        model,
+        variables,
+        snippet_len=shape["input_shape"][0],
+        n_filters=len(orcai_parameter["model"]["filters"]),
+        batch_size=16,
+    )
+    out = tmp_path / "pred_reused.txt"
+    predict(
+        FIXTURES / "golden.wav",
+        model_dir=model_dir,
+        output_path=out,
+        overwrite=True,
+        msgr=Messenger(verbosity=0),
+        verbosity=0,
+        predict_batch_size=16,
+        predictor=predictor,
+    )
+    got = pd.read_csv(out, sep="\t")
+    pd.testing.assert_frame_equal(got, predictions)

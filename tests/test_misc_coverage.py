@@ -295,6 +295,35 @@ def test_bench_timed_passes_plateau_escape():
     assert len(out) == 5
 
 
+def test_bench_parity_diff_keeps_duplicate_rows(tmp_path):
+    """_compare_annotations must diff MULTISETS: a duplicated row on one
+    side is a real discrepancy and the tallies must sum to the counts."""
+    from bench import _compare_annotations
+
+    header = "start\tstop\tlabel\n"
+    coded = tmp_path / "coded.txt"
+    exact = tmp_path / "exact.txt"
+    # coded has the same annotation TWICE; exact has it once plus one
+    # genuinely different row
+    coded.write_text(header + "1.0\t2.0\tBUZZ\n1.0\t2.0\tBUZZ\n")
+    exact.write_text(header + "1.0\t2.0\tBUZZ\n5.0\t9.0\tWHISTLE\n")
+    rep = _compare_annotations(coded, exact)
+    assert rep["annotations_coded"] == 2
+    assert rep["annotations_exact"] == 2
+    assert rep["identical"] == 1
+    # the duplicate survives as a coded-only residual; the WHISTLE row is
+    # exact-only — and everything sums back to the per-side counts
+    assert rep["residual_coded_only"] == 1
+    assert rep["residual_exact_only"] == 1
+    assert (
+        rep["identical"]
+        + rep["boundary_shifted_le_2rows"]
+        + rep["residual_coded_only"]
+        == rep["annotations_coded"]
+    )
+    assert rep["residual_max_duration_s"] == 4.0
+
+
 def test_bench_degraded_link_retry():
     """bench.attempts_until_link_healthy guards the artifact against the
     r3_run12 failure mode (sustained mid-run link degradation): verify it
