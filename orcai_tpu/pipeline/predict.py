@@ -577,8 +577,18 @@ def predict(
         # small JSONs are needed for the window geometry and call names
         from orcai_tpu.io.jsonio import read_json
 
+        # the predictor's build-time dtype governs on this branch, but an
+        # invalid ORCAI_TPU_PREDICT_DTYPE must still raise (same contract
+        # as the cold path; advisor round-3 finding)
+        resolve_predict_dtype()
         orcai_parameter = read_json(model_dir / "orcai_parameter.json")
         shape = read_json(model_dir / "model_shape.json")
+        if predictor.snippet_len != shape["input_shape"][0]:
+            raise ValueError(
+                f"predictor was built for snippet_len "
+                f"{predictor.snippet_len} but {model_dir} expects "
+                f"{shape['input_shape'][0]} — cross-model predictor reuse"
+            )
     else:
         model, variables, orcai_parameter, shape = load_orcai_model(
             model_dir, dtype=resolve_predict_dtype()

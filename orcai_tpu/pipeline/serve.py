@@ -15,6 +15,16 @@ that fails leaves a `<output>.failed` marker with the error text so it is
 reported once and not retried in a loop. New files are picked up when
 their (size, mtime) signature is stable across two consecutive polls, so
 half-written uploads are never read early.
+
+Crash recovery: the remote backend's worker process can die mid-queue
+(CLAUDE.md), which poisons every device object the warmed predictor holds
+— without recovery the first crash would `.failed`-mark every subsequent
+arrival against dead handles. When a per-file error classifies as backend
+death (utils/backend_health.is_backend_crash), serve rebuilds the
+predictor from disk, re-warms it, and retries the in-flight file once;
+only a second failure writes the `.failed` marker, and later arrivals use
+the fresh predictor. Ordinary per-file errors (corrupt wav, too-short
+recording) are never retried.
 """
 
 from __future__ import annotations
@@ -23,6 +33,7 @@ import time
 from pathlib import Path
 
 from orcai_tpu.utils import Messenger
+from orcai_tpu.utils.backend_health import is_backend_crash
 
 
 def scan_ready(
@@ -114,27 +125,42 @@ def serve(
         resolve_predict_dtype,
     )
 
-    model, variables, orcai_parameter, shape = load_orcai_model(
-        model_dir, dtype=resolve_predict_dtype()
-    )
-    # multi-process launches watch independent folders/files per process;
-    # the window mesh must span only LOCAL chips (see pipeline/predict.py)
-    devices = jax.local_devices() if jax.process_count() > 1 else jax.devices()
-    n_devices = len(devices)
-    predictor = WindowPredictor(
-        model,
-        variables,
-        snippet_len=shape["input_shape"][0],
-        n_filters=len(orcai_parameter["model"]["filters"]),
-        batch_size=predict_batch_size,
-        mesh=(
-            make_mesh(n_data=n_devices, devices=devices)
-            if n_devices > 1
-            else None
-        ),
-    )
+    orcai_parameter = None
+    shape = None
 
-    if warm_minutes > 0:
+    def build_predictor() -> WindowPredictor:
+        # also the crash-recovery path: after a backend/worker death every
+        # device array and loaded executable the old predictor held is
+        # poisoned, so recovery reloads weights from disk and rebuilds the
+        # whole device state from scratch (model_store caches nothing on
+        # device)
+        nonlocal orcai_parameter, shape
+        model, variables, orcai_parameter, shape = load_orcai_model(
+            model_dir, dtype=resolve_predict_dtype()
+        )
+        # multi-process launches watch independent folders/files per
+        # process; the window mesh must span only LOCAL chips (see
+        # pipeline/predict.py)
+        devices = (
+            jax.local_devices() if jax.process_count() > 1 else jax.devices()
+        )
+        n_devices = len(devices)
+        return WindowPredictor(
+            model,
+            variables,
+            snippet_len=shape["input_shape"][0],
+            n_filters=len(orcai_parameter["model"]["filters"]),
+            batch_size=predict_batch_size,
+            mesh=(
+                make_mesh(n_data=n_devices, devices=devices)
+                if n_devices > 1
+                else None
+            ),
+        )
+
+    def warm_predictor(predictor: WindowPredictor) -> None:
+        if warm_minutes <= 0:
+            return
         import numpy as np
 
         from orcai_tpu.ops.frontend import make_spectrogram_from_params_device
@@ -160,6 +186,9 @@ def serve(
                 f"{n / sp['sampling_rate'] / 60:.1f} min bucket ready "
                 f"in {time.time() - t0:.1f} s"
             )
+
+    predictor = build_predictor()
+    warm_predictor(predictor)
 
     msgr.part(
         f"Watching {watch_dir} (poll every {poll_seconds:g} s; stop with ^C)"
@@ -190,7 +219,8 @@ def serve(
                 msgr.info(f"{wav.name}: output exists, skipping")
                 continue
             t0 = time.time()
-            try:
+
+            def predict_one(wav: Path = wav, out_path: Path = out_path):
                 _predict_and_save(
                     recording_path=wav,
                     channel=channel,
@@ -205,6 +235,29 @@ def serve(
                     msgr=Messenger(verbosity=0),
                     wire=wire,
                 )
+
+            try:
+                try:
+                    predict_one()
+                except Exception as e:
+                    # Backend/worker death (utils/backend_health.py) poisons
+                    # every device object the predictor holds: without
+                    # recovery, this file AND every later arrival would
+                    # .failed against the dead handles. Rebuild the whole
+                    # device state from disk, re-warm, and retry this file
+                    # ONCE; a second failure falls through to the ordinary
+                    # per-file marker path. Non-crash errors (bad wav, short
+                    # recording) re-raise immediately — retrying them
+                    # against the same input cannot succeed.
+                    if not is_backend_crash(e):
+                        raise
+                    msgr.error(
+                        f"Backend crash while predicting {wav.name} "
+                        f"({e}); rebuilding predictor and retrying once"
+                    )
+                    predictor = build_predictor()
+                    warm_predictor(predictor)
+                    predict_one()
                 failed_marker.unlink(missing_ok=True)
                 msgr.info(
                     f"{wav.name} -> {out_path.name} "

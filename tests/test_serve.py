@@ -145,6 +145,143 @@ def test_serve_skips_done_and_marks_failures(model_dir, tmp_path):
     assert n == 0
 
 
+def test_serve_survives_backend_crash(model_dir, tmp_path, monkeypatch):
+    """A backend/worker death mid-serve must not poison the service.
+
+    The first predict raises the documented crash error (CLAUDE.md: "TPU
+    worker process crashed or restarted"); serve must rebuild the
+    predictor, retry the in-flight file once, and keep later arrivals on
+    the fresh predictor — no .failed markers anywhere.
+    """
+    import orcai_tpu.pipeline.predict as predict_mod
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    out = tmp_path / "out"
+    write_wav(watch / "a.wav", SR, _wav_bytes(seed=0))
+    write_wav(watch / "b.wav", SR, _wav_bytes(seed=1))
+
+    real = predict_mod._predict_and_save
+    crashes = []
+    predictors_seen = []
+
+    def flaky(**kw):
+        predictors_seen.append(kw["predictor"])
+        if not crashes:
+            crashes.append(True)
+            raise RuntimeError(
+                "INTERNAL: TPU worker process crashed or restarted"
+            )
+        return real(**kw)
+
+    monkeypatch.setattr(predict_mod, "_predict_and_save", flaky)
+    n = serve(
+        watch,
+        model_dir=model_dir,
+        output_dir=out,
+        poll_seconds=0,
+        max_idle_polls=2,
+        msgr=Messenger(verbosity=0),
+        sleep=lambda _: None,
+    )
+    assert n == 2
+    assert (out / "a_c1_srv-test_predicted.txt").exists()
+    assert (out / "b_c1_srv-test_predicted.txt").exists()
+    assert not list(out.glob("*.failed"))
+    # the retry and every later file ran on a REBUILT predictor object
+    assert len(predictors_seen) == 3
+    assert predictors_seen[1] is not predictors_seen[0]
+    assert predictors_seen[2] is predictors_seen[1]
+
+
+def test_serve_double_crash_marks_failed_but_continues(
+    model_dir, tmp_path, monkeypatch
+):
+    """If the rebuilt predictor ALSO crashes on the retry, the file gets
+    its .failed marker and the service moves on (bounded retries)."""
+    import orcai_tpu.pipeline.predict as predict_mod
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    out = tmp_path / "out"
+    write_wav(watch / "a.wav", SR, _wav_bytes(seed=0))
+    write_wav(watch / "b.wav", SR, _wav_bytes(seed=1))
+
+    real = predict_mod._predict_and_save
+    calls = []
+
+    def flaky(**kw):
+        calls.append(kw["recording_path"].name)
+        if kw["recording_path"].name == "a.wav":
+            raise RuntimeError("TPU worker process crashed or restarted")
+        return real(**kw)
+
+    monkeypatch.setattr(predict_mod, "_predict_and_save", flaky)
+    n = serve(
+        watch,
+        model_dir=model_dir,
+        output_dir=out,
+        poll_seconds=0,
+        max_idle_polls=2,
+        msgr=Messenger(verbosity=0),
+        sleep=lambda _: None,
+    )
+    assert n == 2
+    assert calls.count("a.wav") == 2  # exactly one retry, not a loop
+    marker = out / "a_c1_srv-test_predicted.txt.failed"
+    assert marker.exists()
+    assert (out / "b_c1_srv-test_predicted.txt").exists()
+
+
+def test_serve_ordinary_error_not_retried(model_dir, tmp_path, monkeypatch):
+    """Non-crash per-file errors must NOT trigger a rebuild+retry."""
+    import orcai_tpu.pipeline.predict as predict_mod
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    out = tmp_path / "out"
+    write_wav(watch / "a.wav", SR, _wav_bytes(seed=0))
+
+    calls = []
+
+    def broken(**kw):
+        calls.append(1)
+        raise ValueError("recording shorter than one snippet")
+
+    monkeypatch.setattr(predict_mod, "_predict_and_save", broken)
+    n = serve(
+        watch,
+        model_dir=model_dir,
+        output_dir=out,
+        poll_seconds=0,
+        max_idle_polls=2,
+        msgr=Messenger(verbosity=0),
+        sleep=lambda _: None,
+    )
+    assert n == 1
+    assert len(calls) == 1  # no retry for an input-specific error
+    assert (out / "a_c1_srv-test_predicted.txt.failed").exists()
+
+
+def test_is_backend_crash_classifier():
+    from orcai_tpu.utils.backend_health import is_backend_crash
+
+    assert is_backend_crash(
+        RuntimeError("TPU worker process crashed or restarted")
+    )
+    assert is_backend_crash(RuntimeError("Socket closed"))
+    # chained cause is inspected
+    try:
+        try:
+            raise RuntimeError("stream removed")
+        except RuntimeError as inner:
+            raise ValueError("predict failed") from inner
+    except ValueError as outer:
+        assert is_backend_crash(outer)
+    assert not is_backend_crash(ValueError("recording too short"))
+    assert not is_backend_crash(FileNotFoundError("x.wav"))
+
+
 def test_scan_ready_waits_for_stable_signature(tmp_path):
     watch = tmp_path / "incoming"
     watch.mkdir()
