@@ -486,6 +486,49 @@ def cli_create_tvt_data(**kwargs):
 
 
 @cli.command(
+    name="convert-dataset",
+    help="Converts reference-materialized tf.data dataset snapshots "
+    "({train,val,test[,test_unfiltered]}_dataset dirs under TVT_DIR, as "
+    "written by upstream orcAI's create-tvt-data) into this package's "
+    "ArrayDataset shards, in place by default — afterwards `orcai train` "
+    "and `orcai test` run on TVT_DIR directly, with no TensorFlow in the "
+    "loop and no re-run of the snippet pipeline. Requires the tensorflow "
+    "package (read side only).",
+    short_help="Converts reference tf.data datasets to ArrayDataset.",
+    no_args_is_help=True,
+)
+@click.argument("tvt_dir", type=DirPathR)
+@click.option("--output_dir", "-o", type=DirPathWcreate, default=None,
+              show_default="in place (TVT_DIR)",
+              help="Write converted datasets here instead of in place.")
+@click.option("--data_compression", "-dc",
+              type=click.Choice(["GZIP", "None", "auto"],
+                                case_sensitive=False),
+              default="auto", show_default=True,
+              help="Compression the tf snapshots were saved with "
+              "(reference default GZIP); auto probes.")
+@click.option("--overwrite", "-ow", is_flag=True,
+              help="Redo datasets that were already converted.")
+@_verbosity_option
+def cli_convert_dataset(tvt_dir, output_dir, data_compression, overwrite,
+                        verbosity):
+    msgr = Messenger(verbosity=verbosity,
+                     title="Converting tf.data datasets")
+    if data_compression == "None":
+        data_compression = None
+    from orcai_tpu.io.tfdata_convert import convert_tvt_datasets
+
+    converted = convert_tvt_datasets(
+        tvt_dir, output_dir=output_dir, compression=data_compression,
+        overwrite=overwrite, msgr=msgr,
+    )
+    msgr.part(
+        "Converted "
+        + ", ".join(f"{k} ({v} samples)" for k, v in converted.items())
+    )
+
+
+@cli.command(
     name="train",
     help="Trains a model on the training dataset in DATA_DIR and saves it "
     "to OUTPUT_DIR.",

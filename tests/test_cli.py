@@ -19,10 +19,12 @@ EXPECTED_COMMANDS = {
     "train",
     "test",
     "hpsearch",
-    # extensions beyond the reference surface: watch-folder serving mode
-    # and executable pre-compilation for remote-compiler backends
+    # extensions beyond the reference surface: watch-folder serving mode,
+    # executable pre-compilation for remote-compiler backends, and the
+    # reference tf.data-snapshot interop converter
     "serve",
     "warmup",
+    "convert-dataset",
 }
 
 
