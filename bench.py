@@ -55,12 +55,28 @@ Measurement protocol (why it is shaped this way):
   per-recording device cost a PCIe-attached host would pay, in f32 and
   the opt-in bf16 inference dtype.
 
-Extras cover BASELINE.md's other flagship metrics: training throughput
-(batch 64 and 128, bfloat16) and hpsearch trials/hr on a fixed 5-trial
-Hyperband workload, timed on its second (program-warm) run — the search
+Extras cover every BASELINE.json workload family: training throughput
+(batch 64 and 128, bfloat16), hpsearch trials/hr on a fixed 5-trial
+Hyperband workload (median of THREE program-warm searches — the search
 is seed-deterministic, so a first identical pass loads every trial's
-programs, the same steady-state policy the predict phase uses (both
-walls reported).
+programs; all walls + the max/min spread reported),
+`create-spectrograms` data-prep throughput (device frontend + zarr
+write vs a numpy-frontend CPU baseline), `orcai test` evaluation
+snippets/s (vs a keras model.predict + tables CPU baseline), and the
+beyond-HBM streaming predict path (90-min recording, overhead factor vs
+the in-memory path gated at 2x).
+
+Artifact contract for the driver: the report is ONE JSON line whose
+LAST key is a compact `headline` object (value, vs_baseline fresh AND
+pooled, link utilization, parity gate) — the driver records only the
+tail of the line, so the headline must live there, readable without
+reconstruction. The lossy-wire parity check is a hard gate
+(tools/parity.py): a violating default wire discards the attempt and
+re-measures on sp-bfp6. The vs-CPU ratio is reported against the fresh
+same-session baseline AND against the pooled median of every session's
+baseline (bench_runs/baseline_history.json) — the fresh denominator
+swings ~3x with host-VM weather, the pooled one is comparable across
+rounds and is the number the docs quote.
 """
 
 from __future__ import annotations
@@ -133,6 +149,30 @@ def _run_subprocess_json(mode: str, timeout: int = 3600) -> dict | None:
         return None
 
 
+def _numpy_frontend(audio: np.ndarray) -> np.ndarray:
+    """Reference-equivalent CPU spectrogram chain (numpy rFFT + dB +
+    percentile clip + min-max normalize; reference spectrogram.py:15-87),
+    shared by the predict and create-spectrograms CPU baselines."""
+    from orcai_tpu.ops.frontend import hann_window
+
+    hop, nfft = 256, 512
+    n = len(audio)
+    n_frames = 1 + n // hop
+    padded = np.zeros((n_frames - 1) * hop + nfft, np.float32)
+    padded[nfft // 2 : nfft // 2 + n] = audio
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(nfft)[None, :]
+    frames = padded[idx] * hann_window(nfft)
+    S = np.abs(np.fft.rfft(frames, axis=1))
+    ref = S.max()
+    db = 20 * np.log10(np.maximum(S, 1e-5)) - 20 * np.log10(max(ref, 1e-5))
+    db = np.maximum(db, db.max() - 80)
+    spec = db[:, :171]
+    lo = np.percentile(spec, 1, method="nearest")
+    hi = np.percentile(spec, 99.9, method="nearest")
+    spec = np.clip(spec, lo, hi)
+    return (spec - spec.min()) / (spec.max() - spec.min())
+
+
 def cpu_predict_baseline_main() -> None:
     """Reference-equivalent CPU predict baseline (runs in its own process).
 
@@ -150,7 +190,6 @@ def cpu_predict_baseline_main() -> None:
     from orcai_tpu.io.keras_convert import flax_to_keras_model
     from orcai_tpu.io.model_store import load_variables
     from orcai_tpu.io.wav import load_wav
-    from orcai_tpu.ops.frontend import hann_window
 
     model_dir = ensure_model()
     wav = BENCH_DIR / f"baseline_{BASELINE_MINUTES}min.wav"
@@ -165,22 +204,7 @@ def cpu_predict_baseline_main() -> None:
     def run() -> float:
         t0 = time.time()
         audio, _ = load_wav(wav, sr=SR)
-        hop, nfft = 256, 512
-        n = len(audio)
-        n_frames = 1 + n // hop
-        padded = np.zeros((n_frames - 1) * hop + nfft, np.float32)
-        padded[nfft // 2 : nfft // 2 + n] = audio
-        idx = np.arange(n_frames)[:, None] * hop + np.arange(nfft)[None, :]
-        frames = padded[idx] * hann_window(nfft)
-        S = np.abs(np.fft.rfft(frames, axis=1))
-        ref = S.max()
-        db = 20 * np.log10(np.maximum(S, 1e-5)) - 20 * np.log10(max(ref, 1e-5))
-        db = np.maximum(db, db.max() - 80)
-        spec = db[:, :171]
-        lo = np.percentile(spec, 1, method="nearest")
-        hi = np.percentile(spec, 99.9, method="nearest")
-        spec = np.clip(spec, lo, hi)
-        spec = (spec - spec.min()) / (spec.max() - spec.min())
+        spec = _numpy_frontend(audio)
         shift = 368
         n_win = (spec.shape[0] - 736) // shift + 1
         windows = np.stack(
@@ -251,6 +275,105 @@ def cpu_train_baseline_main() -> None:
     }))
 
 
+def cpu_spectrogram_baseline_main() -> None:
+    """Reference-equivalent `create-spectrograms` CPU baseline, own process.
+
+    numpy rFFT frontend + gzip zarr store write — the same per-recording
+    work the reference's driver does through librosa + zarr (reference
+    spectrogram.py:226-321). 5-minute recording, 1 warmup + 3 timed runs,
+    median rec-hr/min.
+    """
+    import shutil
+    import tempfile
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from orcai_tpu.io import save_as_zarr
+    from orcai_tpu.io.wav import load_wav
+
+    wav = BENCH_DIR / f"baseline_{BASELINE_MINUTES}min.wav"
+    if not wav.exists():
+        synth_wav(wav, BASELINE_MINUTES * 60, seed=1)
+    tmp = Path(tempfile.mkdtemp(prefix="bench_spec_cpu_", dir=BENCH_DIR))
+
+    def run() -> float:
+        t0 = time.time()
+        audio, _ = load_wav(wav, sr=SR)
+        spec = _numpy_frontend(audio)
+        out = tmp / "spectrogram.zarr"
+        if out.exists():
+            shutil.rmtree(out)
+        save_as_zarr(spec.astype(np.float32), out)
+        return time.time() - t0
+
+    try:
+        run()
+        times = [run() for _ in range(3)]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    hours = BASELINE_MINUTES / 60
+    rates = [hours / (t / 60) for t in times]
+    print(json.dumps({
+        "rec_hr_per_min_median": round(float(np.median(rates)), 4),
+        "runs_rec_hr_per_min": [round(r, 4) for r in rates],
+        "recording_minutes": BASELINE_MINUTES,
+    }))
+
+
+def cpu_eval_baseline_main() -> None:
+    """Reference-equivalent `orcai test` CPU baseline, own process.
+
+    Keras model.predict over the test batches + the confusion /
+    misclassification tables (the reference's evaluation loop,
+    test.py:228-287) on a fixed synthetic test set; snippets/s over 2
+    timed evaluations after 1 warmup.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    os.environ.setdefault("KERAS_BACKEND", "tensorflow")
+
+    from orcai_tpu.io import read_json
+    from orcai_tpu.io.keras_convert import flax_to_keras_model
+    from orcai_tpu.io.model_store import load_variables
+    from orcai_tpu.train.evaluate import (
+        compute_confusion_table,
+        compute_misclassification_tables,
+    )
+
+    model_dir = ensure_model()
+    param = read_json(model_dir / "orcai_parameter.json")
+    variables = load_variables(model_dir / "orcai-v1.msgpack")
+    kmodel = flax_to_keras_model(variables, param, (736, 171, 1))
+    calls = param["calls"]
+
+    rng = np.random.default_rng(11)
+    n = 128
+    x = rng.uniform(size=(n, 736, 171, 1)).astype(np.float32)
+    y = rng.integers(0, 2, (n, 46, len(calls))).astype(np.float32)
+
+    def run() -> float:
+        t0 = time.time()
+        probs = kmodel.predict(x, batch_size=64, verbose=0)
+        compute_confusion_table(y, probs, calls)
+        compute_misclassification_tables(
+            np.vstack(y).astype(int),
+            np.vstack((probs >= 0.5).astype(int)),
+            "true", "pred", calls,
+        )
+        return time.time() - t0
+
+    run()
+    times = [run() for _ in range(2)]
+    print(json.dumps({
+        "snippets_per_s": round(n / float(np.median(times)), 2),
+        "elapsed_s": [round(t, 1) for t in times],
+        "n_snippets": n,
+    }))
+
+
 # ----------------------------------------------------------- TPU: predict
 
 
@@ -285,7 +408,7 @@ def attempts_until_link_healthy(
     probe_bw_mb_s,
     wire_mb: float,
     *,
-    degraded_ratio: float = 1.35,
+    degraded_ratio: float = 1.25,
     healthy_bw_mb_s: float = 40.0,
     max_retries: int = 3,
     cooldown_s: float = 120.0,
@@ -303,9 +426,11 @@ def attempts_until_link_healthy(
       - its median wall implies a link rate well below the best rate probed
         this run (identical workload, so the spread is link phase, not
         code): median > degraded_ratio x (wire_mb / best probed MB/s).
-        Healthy runs sit at 1.03-1.04x their floor (r3_run13/14) and ~1.0
-        on the bfp6 runs, so 1.35 has wide margin against spurious retries
-        while catching r3_run15's 1.37 (a 0.73-utilization phase), or
+        Healthy runs sit at 1.00-1.04x their floor (r3_run13/14), so 1.25
+        (utilization >= 0.80) still has margin against spurious retries
+        while rejecting BOTH observed sub-band captures: r3_run15's 1.37
+        and the round-3 official artifact's 1.32 (utilization 0.756),
+        which the old 1.35 gate admitted as the round's headline, or
       - the link never probed healthy at all (best probe below
         healthy_bw_mb_s; the documented healthy band is 40-60 MB/s —
         r3_run15's 37.6 MB/s phase sat just under it).
@@ -343,74 +468,19 @@ def _bandwidth_probe_mb_s(reps: int = 3) -> float:
     return h2d_mb_s(payload, reps=reps)
 
 
-def _compare_annotations(coded: Path, exact: Path) -> dict:
-    """Interval-aware diff of two Audacity TSVs (lossy-wire parity report).
-
-    Classifies pairs as identical, boundary-shifted (same label, overlapping
-    span, endpoints within 2 aggregation rows ~0.17 s), or residual —
-    annotations present on only one side. Residuals on near-threshold noise
-    are expected from any perturbation; what must stay ~0 is substantive
-    residuals (duration beyond a couple of rows).
-    """
-
-    def rows(p: Path) -> list[tuple[float, float, str]]:
-        out = []
-        for line in p.read_text().strip().splitlines()[1:]:
-            s, e, lab = line.split("\t")
-            out.append((float(s), float(e), lab))
-        return out
-
-    a, b = rows(coded), rows(exact)
-    # multiset diff (not set): duplicate rows — two call runs rounding to
-    # identical times — must not collapse, or the tallies would drop real
-    # discrepancies and stop summing to the reported annotation counts
-    from collections import Counter
-
-    ca, cb = Counter(a), Counter(b)
-    identical = sum((ca & cb).values())
-    ra = sorted((ca - cb).elements())
-    rb = sorted((cb - ca).elements())
-    tol = 2 * 16 * 256 / SR  # two aggregation rows
-    shifted = 0
-    used = set()
-    rest_a = []
-    for s0, e0, lab in ra:
-        hit = None
-        for j, (s1, e1, lab1) in enumerate(rb):
-            if j in used or lab1 != lab:
-                continue
-            if abs(s0 - s1) <= tol and abs(e0 - e1) <= tol:
-                hit = j
-                break
-        if hit is None:
-            rest_a.append((s0, e0, lab))
-        else:
-            used.add(hit)
-            shifted += 1
-    rest_b = [r for j, r in enumerate(rb) if j not in used]
-    residual_durs = [e - s for s, e, _ in rest_a + rest_b]
-    return {
-        "annotations_coded": len(a),
-        "annotations_exact": len(b),
-        "identical": identical,
-        "boundary_shifted_le_2rows": shifted,
-        "residual_coded_only": len(rest_a),
-        "residual_exact_only": len(rest_b),
-        "residual_max_duration_s": round(max(residual_durs, default=0.0), 3),
-    }
-
-
 def _make_recording_table(wavs: list[Path]) -> Path:
     from orcai_tpu.tools.bench_common import write_recording_table
 
     return write_recording_table(wavs, BENCH_DIR / "bench_table.csv")
 
 
-def measure_tpu_predict(model_dir: Path) -> dict:
+def measure_tpu_predict(model_dir: Path, wire: str | None = None) -> dict:
     """Batch predict over N_RECORDINGS distinct 20-min recordings.
 
     Returns the fast-state batch pass (headline), a degraded-state repeat,
-    and tunnel bandwidth in both states.
+    and tunnel bandwidth in both states. `wire` forces a specific wire
+    codec (main() uses it to fall back to sp-bfp6 when the default wire
+    violates the parity contract, tools/parity.py).
     """
     from orcai_tpu.pipeline.predict import _dispatch_wav, predict
     from orcai_tpu.tools.bench_common import load_bench_predictor
@@ -441,7 +511,7 @@ def measure_tpu_predict(model_dir: Path) -> dict:
     t0 = time.time()
     disp = _dispatch_wav(
         warm_wav, 1, predictor, orcai_parameter, shape,
-        msgr=Messenger(verbosity=0),
+        msgr=Messenger(verbosity=0), wire=wire,
     )
     _ = np.asarray(disp["count_dev"][:1])  # the forcing fetch
     del disp
@@ -458,6 +528,7 @@ def measure_tpu_predict(model_dir: Path) -> dict:
             verbosity=0,
             predict_batch_size=128,
             predictor=predictor,  # warmed: programs already loaded
+            wire=wire,
         )
         return time.time() - t0
 
@@ -468,7 +539,7 @@ def measure_tpu_predict(model_dir: Path) -> dict:
     from orcai_tpu.native import native_available
     from orcai_tpu.ops.wire_codec import resolve_wire, wire_bytes_per_sample
 
-    wire_codec = resolve_wire(None)
+    wire_codec = resolve_wire(wire)
     # an sp-* wire only regrids when the model's spectrogram geometry allows
     # it (ops/spectral.spectral_geometry); otherwise the timed passes shipped
     # the plain base codec at the native rate — the floor analysis must
@@ -573,10 +644,18 @@ def measure_tpu_predict(model_dir: Path) -> dict:
         encode_mb_s = round(probe.nbytes / 1e6 / (time.perf_counter() - t0), 1)
 
     # lossy-wire guard: re-predict one recording with the exact int16 wire
-    # and diff the annotation TSVs (the headline number must not come from
-    # a codec that changes the output)
+    # and diff the annotation TSVs against the quantitative parity
+    # contract (tools/parity.py). The headline number must not come from a
+    # codec that changes the output: a violated contract makes main()
+    # discard this attempt and fall back to the sp-bfp6 wire.
     wire_parity = None
+    parity_gate = None
     if wire_codec != "exact":
+        from orcai_tpu.tools.parity import (
+            check_wire_parity,
+            compare_annotations,
+        )
+
         exact_dir = BENCH_DIR / "bench_out_exact"
         exact_dir.mkdir(exist_ok=True)
         predict(
@@ -592,10 +671,11 @@ def measure_tpu_predict(model_dir: Path) -> dict:
         )
         wire_parity = {"recording_checked": outputs[0].name}
         wire_parity.update(
-            _compare_annotations(
+            compare_annotations(
                 out_dir / outputs[0].name, exact_dir / outputs[0].name
             )
         )
+        parity_gate = check_wire_parity(wire_parity, BENCH_MINUTES)
         # rebuild the full table for any later consumer of bench_table.csv
         _make_recording_table(wavs)
 
@@ -621,6 +701,7 @@ def measure_tpu_predict(model_dir: Path) -> dict:
             "encoder": encoder,
             "host_encode_mb_s": encode_mb_s,
             "parity": wire_parity,
+            "parity_gate": parity_gate,
         },
         "transfer_floor": {
             "h2d_mb_s_probed": bw_mb_s,
@@ -632,6 +713,222 @@ def measure_tpu_predict(model_dir: Path) -> dict:
             "ceiling_rec_hr_per_min": round(hours / (floor_s / 60), 2),
             "link_utilization": round(floor_s / wall_s, 3),
         },
+    }
+
+
+# ------------------------------------------- TPU: data prep / eval / stream
+
+
+def measure_tpu_spectrograms(model_dir: Path) -> dict:
+    """`create-spectrograms` throughput over the five 20-min recordings.
+
+    The full production driver (pipeline/spectrogram.py: device frontend
+    -> host fetch -> gzip zarr store write; reference hot loop
+    spectrogram.py:226-321), exact wire — data prep MATERIALIZES
+    spectrograms, so unlike predict the bytes are bit-faithful PCM up and
+    the full float32 spectrogram comes back down. 1 warmup recording +
+    2 timed passes, median rec-hr/min.
+    """
+    import shutil
+
+    from orcai_tpu.io import read_json
+    from orcai_tpu.pipeline.spectrogram import create_spectrograms
+    from orcai_tpu.utils import Messenger
+
+    param = read_json(model_dir / "orcai_parameter.json")
+    wavs = []
+    for i in range(N_RECORDINGS):
+        w = BENCH_DIR / bench_wav_name(i)
+        if not w.exists():
+            synth_wav(w, BENCH_MINUTES * 60, seed=i)
+        wavs.append(w)
+    warm_wav = BENCH_DIR / bench_wav_name("warm")
+    if not warm_wav.exists():
+        synth_wav(warm_wav, BENCH_MINUTES * 60, seed=99)
+    out_dir = BENCH_DIR / "bench_spec_out"
+
+    def one_pass(table_wavs, out) -> float:
+        table = _make_recording_table(table_wavs)
+        t0 = time.time()
+        create_spectrograms(
+            table,
+            out,
+            orcai_parameter=param,
+            include_not_annotated=True,
+            include_no_possible_annotations=True,
+            overwrite=True,
+            msgr=Messenger(verbosity=0),
+            verbosity=0,
+        )
+        return time.time() - t0
+
+    # warmup: loads the frontend programs AND pays the first-fetch sync
+    # (make_spectrogram fetches the full spectrogram to host, so the pass
+    # itself forces execution — no separate forcing fetch needed)
+    one_pass([warm_wav], out_dir / "warm")
+    walls = [one_pass(wavs, out_dir) for _ in range(2)]
+    _make_recording_table(wavs)  # restore the canonical table
+    shutil.rmtree(out_dir, ignore_errors=True)
+    wall = float(np.median(walls))
+    hours = N_RECORDINGS * BENCH_MINUTES / 60
+    return {
+        "rec_hr_per_min": round(hours / (wall / 60), 2),
+        "wall_s_median": round(wall, 2),
+        "wall_s_runs": [round(t, 2) for t in walls],
+        "recordings": N_RECORDINGS,
+        "minutes_each": BENCH_MINUTES,
+        "wire": "exact",
+        "note": "full driver incl. host gzip zarr write of the "
+        "materialized float32 spectrograms",
+    }
+
+
+def measure_tpu_eval(model_dir: Path) -> dict:
+    """`orcai test` evaluation throughput (snippets/s).
+
+    The production evaluation loop (train/evaluate._test_model_on_dataset:
+    jitted eval-step forward + vectorized confusion/misclassification
+    tables; reference test.py:228-287) over a fixed synthetic 512-snippet
+    test set. 1 warmup + 2 timed evaluations, median.
+    """
+    from orcai_tpu.io.dataset import ArrayDataset
+    from orcai_tpu.io.model_store import load_orcai_model
+    from orcai_tpu.parallel.mesh import mesh_for_batch
+    from orcai_tpu.train.evaluate import _test_model_on_dataset
+    from orcai_tpu.train.trainer import Trainer, make_optimizer
+    from orcai_tpu.utils import Messenger
+
+    model, variables, param, _ = load_orcai_model(model_dir)
+    mp = param["model"]
+    calls = param["calls"]
+    batch_size = mp["batch_size"]
+    trainer = Trainer(
+        model,
+        make_optimizer(mp["learning_rate"]),
+        mesh=mesh_for_batch(batch_size),
+    )
+    state = trainer.state_from_variables(variables)
+
+    rng = np.random.default_rng(13)
+    n = 512
+    ds = ArrayDataset(
+        rng.uniform(size=(n, 736, 171, 1)).astype(np.float32),
+        rng.integers(0, 2, (n, 46, len(calls))).astype(np.float32),
+    )
+    msgr0 = Messenger(verbosity=0)
+
+    def run() -> float:
+        t0 = time.time()
+        _test_model_on_dataset(
+            trainer, state, ds, batch_size, None, calls, "bench", msgr0
+        )
+        return time.time() - t0
+
+    run()  # compile + program load
+    walls = [run() for _ in range(2)]
+    wall = float(np.median(walls))
+    return {
+        "snippets_per_s": round(n / wall, 1),
+        "wall_s_median": round(wall, 2),
+        "wall_s_runs": [round(t, 2) for t in walls],
+        "n_snippets": n,
+        "batch_size": batch_size,
+    }
+
+
+def measure_tpu_streaming(
+    model_dir: Path,
+    minutes: int = 90,
+    stream_spec_bytes: int = 200_000_000,
+) -> dict:
+    """Beyond-HBM streaming predict, measured (round-3 verdict weak #7).
+
+    A 90-minute recording forced through the two-pass StreamingPredictor
+    (ORCAI_TPU_STREAM_SPEC_BYTES lowered below its spectrogram footprint)
+    vs the same recording on the in-memory path. Reports rec-hr/min for
+    both and the overhead factor, with a regression gate at 2x
+    (the long-recording story must stay within 2x of in-memory; the
+    reference's unbounded equivalent is predict.py:256-261).
+    """
+    from orcai_tpu.pipeline.predict import predict
+    from orcai_tpu.tools.bench_common import load_bench_predictor
+    from orcai_tpu.utils import Messenger
+
+    wav = BENCH_DIR / f"bench_stream_{minutes}min.wav"
+    if not wav.exists():
+        synth_wav(wav, minutes * 60, seed=7)
+    model_dir, orcai_parameter, shape, predictor = load_bench_predictor(
+        model_dir
+    )
+    out = BENCH_DIR / "bench_stream_out"
+    out.mkdir(exist_ok=True)
+
+    def one_pass(stream: bool) -> float:
+        old = os.environ.get("ORCAI_TPU_STREAM_SPEC_BYTES")
+        try:
+            if stream:
+                # 90 min -> ~693 MB spectrogram; the lowered budget
+                # (default 200 MB) forces the two-pass streaming path
+                os.environ["ORCAI_TPU_STREAM_SPEC_BYTES"] = str(
+                    stream_spec_bytes
+                )
+            else:
+                os.environ.pop("ORCAI_TPU_STREAM_SPEC_BYTES", None)
+            t0 = time.time()
+            predict(
+                wav,
+                model_dir=model_dir,
+                output_path=out / f"stream_{stream}.txt",
+                overwrite=True,
+                msgr=Messenger(verbosity=0),
+                verbosity=0,
+                predict_batch_size=128,
+                predictor=predictor,
+            )
+            return time.time() - t0
+        finally:
+            if old is None:
+                os.environ.pop("ORCAI_TPU_STREAM_SPEC_BYTES", None)
+            else:
+                os.environ["ORCAI_TPU_STREAM_SPEC_BYTES"] = old
+
+    # warm each path (separate program sets: chunked stats fns vs the
+    # in-memory frontend), then time 2 passes per path
+    one_pass(False)
+    mem_walls = [one_pass(False) for _ in range(2)]
+    one_pass(True)
+    stream_walls = [one_pass(True) for _ in range(2)]
+
+    # the streaming path must hold annotation parity with the in-memory
+    # path. Byte equality is not expected in general: the in-memory auto
+    # wire regrids (sp-bfp5) while streaming keeps the native grid with
+    # the base codec — so the contract check (tools/parity.py) is the
+    # right equivalence, with byte equality reported when it happens.
+    from orcai_tpu.tools.parity import check_wire_parity, compare_annotations
+
+    mem_tsv = (out / "stream_False.txt").read_text()
+    stream_tsv = (out / "stream_True.txt").read_text()
+    stream_parity = compare_annotations(
+        out / "stream_True.txt", out / "stream_False.txt"
+    )
+    stream_gate = check_wire_parity(stream_parity, minutes)
+
+    hours = minutes / 60
+    mem_wall = float(np.median(mem_walls))
+    stream_wall = float(np.median(stream_walls))
+    factor = stream_wall / mem_wall
+    return {
+        "rec_hr_per_min": round(hours / (stream_wall / 60), 2),
+        "in_memory_rec_hr_per_min": round(hours / (mem_wall / 60), 2),
+        "wall_s_median": round(stream_wall, 2),
+        "wall_s_runs": [round(t, 2) for t in stream_walls],
+        "in_memory_wall_s_runs": [round(t, 2) for t in mem_walls],
+        "overhead_factor": round(factor, 3),
+        "overhead_ok": factor <= 2.0,
+        "outputs_identical": mem_tsv == stream_tsv,
+        "parity_vs_in_memory": stream_parity,
+        "parity_gate": stream_gate,
+        "recording_minutes": minutes,
     }
 
 
@@ -737,12 +1034,18 @@ def measure_hpsearch() -> dict:
             json.dumps({"spectrogram": [736, 171, 1], "labels": [46, 7]})
         )
         # the search is deterministic under param["seed"]=7, so running it
-        # twice builds/loads the exact trial programs the timed run will
+        # repeatedly builds/loads the exact trial programs the timed runs
         # use — the same warmed-steady-state policy the predict phase
         # applies (a production search runs hundreds of trials, so one-time
         # program loading amortizes away; without the warm pass the number
         # swung 110-360 trials/hr with whether the axon backend's lazy
-        # loads landed inside the 5-trial walls). Both walls are reported.
+        # loads landed inside the 5-trial walls). Round 3 still saw a 3.5x
+        # spread across SINGLE program-warm runs (148-521 trials/hr,
+        # VERDICT weak #5) — the residual variance is the link/RPC-drain
+        # weather between runs, so the headline is now the MEDIAN OF THREE
+        # warm searches with every wall reported and the spread
+        # (max/min of the timed walls) in the artifact as the
+        # repeatability witness.
         def run_search(out_dir: Path) -> float:
             out_dir.mkdir()
             t0 = time.time()
@@ -758,15 +1061,18 @@ def measure_hpsearch() -> dict:
             return time.time() - t0
 
         warm_elapsed = run_search(tmp / "out_warm")
-        elapsed = run_search(tmp / "out")
+        walls = [run_search(tmp / f"out{i}") for i in range(3)]
+        elapsed = float(np.median(walls))
         import pandas as pd
 
-        trials = pd.read_csv(tmp / "out" / "hps_logs" / "all_trials.csv")
+        trials = pd.read_csv(tmp / "out0" / "hps_logs" / "all_trials.csv")
         n_trials = int((trials["status"] == "COMPLETED").sum())
         return {
             "trials_per_hr": round(n_trials / (elapsed / 3600), 1),
             "n_trials": n_trials,
-            "wall_s": round(elapsed, 1),
+            "wall_s_median": round(elapsed, 1),
+            "wall_s_runs": [round(t, 1) for t in walls],
+            "spread_max_over_min": round(max(walls) / min(walls), 2),
             "warmup_wall_s": round(warm_elapsed, 1),
             "max_epochs": 2,
             "snippets_per_trial_epoch": n_train,
@@ -803,6 +1109,37 @@ def main() -> None:
     def emit() -> None:
         if not emitted.is_set():
             emitted.set()
+            # the driver captures only the TAIL of this single JSON line, so
+            # the compact headline block must be the LAST key — re-inserted
+            # here so it is last even when the watchdog emits a partial
+            # artifact (dict insertion order is JSON emission order)
+            report.pop("headline", None)
+            report["headline"] = {
+                "metric": report.get("metric"),
+                "value": report.get("value"),
+                "unit": report.get("unit"),
+                "vs_baseline": report.get("vs_baseline"),
+                "vs_baseline_pooled": report.get("vs_baseline_pooled"),
+                "cpu_baseline_fresh": (report.get("cpu_baseline") or {}).get(
+                    "rec_hr_per_min_median"
+                ),
+                "cpu_baseline_pooled_median": (
+                    report.get("cpu_baseline_pooled") or {}
+                ).get("median"),
+                "link_utilization": (
+                    report.get("transfer_floor") or {}
+                ).get("link_utilization"),
+                "wire": (report.get("wire") or {}).get("codec"),
+                "parity_ok": (
+                    (report.get("wire") or {}).get("parity_gate") or {}
+                ).get("ok"),
+                "train_snippets_per_s_b128": (
+                    (report.get("train") or {}).get("batch128") or {}
+                ).get("snippets_per_s"),
+                "hpsearch_trials_per_hr": (
+                    report.get("hpsearch") or {}
+                ).get("trials_per_hr"),
+            }
             print(json.dumps(report), flush=True)
 
     deadline_s = float(os.environ.get("ORCAI_TPU_BENCH_DEADLINE_S", "5400"))
@@ -823,15 +1160,76 @@ def main() -> None:
     # the single host core or its page cache
     cpu_predict = _run_subprocess_json("cpu-predict-baseline")
     cpu_train = _run_subprocess_json("cpu-train-baseline")
+    cpu_spec = _run_subprocess_json("cpu-spectrogram-baseline")
+    cpu_eval = _run_subprocess_json("cpu-eval-baseline")
     report["cpu_baseline"] = cpu_predict
     baseline = cpu_predict["rec_hr_per_min_median"] if cpu_predict else None
+    # pooled-denominator protocol: the fresh per-session CPU baseline swings
+    # ~0.07-0.44 rec-hr/min with host-VM weather (round-3 runs), which made
+    # vs_baseline statistically meaningless run to run. Every session's
+    # fresh median is appended to a committed history
+    # (bench_runs/baseline_history.json) and the headline ratio is ALSO
+    # reported against the all-sessions pooled median — a stable
+    # denominator that can be compared across rounds. Both ratios land in
+    # the artifact; docs quote the pooled one.
+    pooled = None
+    try:
+        hist_path = REPO / "bench_runs" / "baseline_history.json"
+        history = (
+            json.loads(hist_path.read_text()) if hist_path.exists() else []
+        )
+        if baseline is not None:
+            history.append(
+                {
+                    "rec_hr_per_min_median": baseline,
+                    "runs": cpu_predict.get("runs_rec_hr_per_min"),
+                    "unix_time": int(time.time()),
+                }
+            )
+            hist_path.parent.mkdir(exist_ok=True)
+            hist_path.write_text(json.dumps(history, indent=1))
+        if history:
+            pooled = float(
+                np.median([h["rec_hr_per_min_median"] for h in history])
+            )
+            report["cpu_baseline_pooled"] = {
+                "median": round(pooled, 4),
+                "n_sessions": len(history),
+                "note": "median of every session's fresh CPU baseline "
+                "(bench_runs/baseline_history.json); the stable "
+                "denominator quoted by the docs",
+            }
+    except Exception as exc:  # noqa: BLE001 — pooling must never kill bench
+        report["cpu_baseline_pooled"] = {"error": repr(exc)}
 
     try:
         predict_result = measure_tpu_predict(ensure_model())
+        gate = predict_result["wire"].get("parity_gate") or {"ok": True}
+        if not gate["ok"]:
+            # enforced parity contract (tools/parity.py): the default wire
+            # changed the output beyond the contract — discard the attempt
+            # (recorded below) and re-measure on the higher-SNR sp-bfp6
+            # wire; a violation there too is a hard failure, not a number
+            report["parity_fallback_from"] = {
+                "wire": predict_result["wire"],
+                "value": predict_result["value"],
+            }
+            predict_result = measure_tpu_predict(
+                ensure_model(), wire="sp-bfp6"
+            )
+            gate = predict_result["wire"].get("parity_gate") or {"ok": True}
+            if not gate["ok"]:
+                raise RuntimeError(
+                    "parity contract violated on the sp-bfp6 fallback too: "
+                    f"{gate['violations']}"
+                )
         value = predict_result["value"]
         report["value"] = value
         report["vs_baseline"] = (
             round(value / baseline, 2) if baseline else None
+        )
+        report["vs_baseline_pooled"] = (
+            round(value / pooled, 2) if pooled else None
         )
         report["batch"] = predict_result["batch"]
         report["wire"] = predict_result["wire"]
@@ -855,6 +1253,37 @@ def main() -> None:
         }
     except Exception as exc:  # noqa: BLE001
         report["compute_floor"] = {"error": f"floor probe failed: {exc!r}"}
+
+    # remaining BASELINE.json workload families (round-3 verdict weak #7):
+    # data prep, evaluation, and the beyond-HBM streaming predict path —
+    # each with its CPU denominator where one exists
+    try:
+        spec_res = measure_tpu_spectrograms(ensure_model())
+        if cpu_spec:
+            spec_res["cpu_baseline"] = cpu_spec
+            spec_res["vs_cpu_baseline"] = round(
+                spec_res["rec_hr_per_min"]
+                / cpu_spec["rec_hr_per_min_median"], 2,
+            )
+        report["spectrograms"] = spec_res
+    except Exception as exc:  # noqa: BLE001
+        report["spectrograms"] = {"error": f"phase failed: {exc!r}"}
+
+    try:
+        eval_res = measure_tpu_eval(ensure_model())
+        if cpu_eval:
+            eval_res["cpu_baseline"] = cpu_eval
+            eval_res["vs_cpu_baseline"] = round(
+                eval_res["snippets_per_s"] / cpu_eval["snippets_per_s"], 2
+            )
+        report["evaluate"] = eval_res
+    except Exception as exc:  # noqa: BLE001
+        report["evaluate"] = {"error": f"phase failed: {exc!r}"}
+
+    try:
+        report["streaming"] = measure_tpu_streaming(ensure_model())
+    except Exception as exc:  # noqa: BLE001
+        report["streaming"] = {"error": f"phase failed: {exc!r}"}
 
     try:
         train64 = measure_tpu_train(64)
@@ -883,5 +1312,9 @@ if __name__ == "__main__":
         cpu_predict_baseline_main()
     elif "--cpu-train-baseline" in sys.argv:
         cpu_train_baseline_main()
+    elif "--cpu-spectrogram-baseline" in sys.argv:
+        cpu_spectrogram_baseline_main()
+    elif "--cpu-eval-baseline" in sys.argv:
+        cpu_eval_baseline_main()
     else:
         main()

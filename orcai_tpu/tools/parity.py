@@ -1,0 +1,142 @@
+"""Annotation-level parity: comparison + the enforced wire contract.
+
+The TPU default wire is lossy (sp-bfp5: host 3/4 resample + 5-bit
+block-floating-point mantissas, ops/spectral.py) — chosen because the
+flagship predict path is transfer-bound and the codec holds
+annotation-level parity. "Parity" is not prose here; it is this module's
+quantitative contract, enforced by every bench run (bench.py falls back
+to the higher-SNR sp-bfp6 wire when the default violates it) and by
+tests/test_parity_contract.py (which probes the bound's margin by
+perturbing the input SNR until the contract trips):
+
+1. Every substantive annotation — duration >= SUBSTANTIVE_S — present on
+   the exact-wire output must appear on the coded-wire output with the
+   same label and both boundaries within BOUNDARY_ROWS aggregation rows
+   (and vice versa: the coded wire must not invent substantive calls).
+   Equivalently: every residual (one-side-only) annotation must be
+   shorter than SUBSTANTIVE_S.
+2. Residual disagreements below SUBSTANTIVE_S ("flickers": detections
+   hovering at the 0.5/overlap decision threshold, where any
+   perturbation — including the reference's own float nondeterminism —
+   flips the rounding) are bounded in rate: at most
+   MAX_FLICKERS_PER_HOUR per recording-hour.
+
+Calibration: the round-3 official runs measured 6 flickers (max 0.683 s)
+on a 20-minute recording = 18/hr with every substantive call identical
+or boundary-shifted <= 2 rows (bench_runs/r3_run13.json wire.parity).
+The bounds below sit ~1.5x over that steady state, so a regression that
+doubles flicker loss (36/hr) FAILS while run-to-run threshold noise
+passes. Reference threshold semantics being preserved:
+reference predict.py:298-317.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from pathlib import Path
+
+#: an annotation at least this long is "substantive": it must survive the
+#: wire exactly (same label, boundaries within BOUNDARY_ROWS)
+SUBSTANTIVE_S = 0.75
+#: boundary tolerance, in aggregation rows (one row = 2**n_filters
+#: spectrogram frames = 16 * 256 / 48000 s ~ 0.0853 s for orcai-v1)
+BOUNDARY_ROWS = 2
+#: sub-SUBSTANTIVE_S disagreements allowed per recording-hour
+MAX_FLICKERS_PER_HOUR = 27.0
+
+
+def read_annotations(path: Path | str) -> list[tuple[float, float, str]]:
+    """Rows of an Audacity label TSV (start, stop, label), header skipped."""
+    out = []
+    for line in Path(path).read_text().strip().splitlines()[1:]:
+        s, e, lab = line.split("\t")
+        out.append((float(s), float(e), lab))
+    return out
+
+
+def compare_annotations(
+    coded: Path | str,
+    exact: Path | str,
+    row_seconds: float = 16 * 256 / 48000,
+) -> dict:
+    """Interval-aware diff of two Audacity TSVs (lossy-wire parity report).
+
+    Classifies pairs as identical, boundary-shifted (same label,
+    endpoints within BOUNDARY_ROWS aggregation rows), or residual —
+    annotations present on only one side. Residuals on near-threshold
+    noise are expected from any perturbation; the contract
+    (check_wire_parity) bounds what they may be.
+    """
+    a, b = read_annotations(coded), read_annotations(exact)
+    # multiset diff (not set): duplicate rows — two call runs rounding to
+    # identical times — must not collapse, or the tallies would drop real
+    # discrepancies and stop summing to the reported annotation counts
+    ca, cb = Counter(a), Counter(b)
+    identical = sum((ca & cb).values())
+    ra = sorted((ca - cb).elements())
+    rb = sorted((cb - ca).elements())
+    tol = BOUNDARY_ROWS * row_seconds
+    shifted = 0
+    used: set[int] = set()
+    rest_a = []
+    for s0, e0, lab in ra:
+        hit = None
+        for j, (s1, e1, lab1) in enumerate(rb):
+            if j in used or lab1 != lab:
+                continue
+            if abs(s0 - s1) <= tol and abs(e0 - e1) <= tol:
+                hit = j
+                break
+        if hit is None:
+            rest_a.append((s0, e0, lab))
+        else:
+            used.add(hit)
+            shifted += 1
+    rest_b = [r for j, r in enumerate(rb) if j not in used]
+    residual_durs = [e - s for s, e, _ in rest_a + rest_b]
+    return {
+        "annotations_coded": len(a),
+        "annotations_exact": len(b),
+        "identical": identical,
+        "boundary_shifted_le_2rows": shifted,
+        "residual_coded_only": len(rest_a),
+        "residual_exact_only": len(rest_b),
+        "residual_max_duration_s": round(max(residual_durs, default=0.0), 3),
+    }
+
+
+def check_wire_parity(
+    parity: dict,
+    recording_minutes: float,
+    *,
+    substantive_s: float = SUBSTANTIVE_S,
+    max_flickers_per_hour: float = MAX_FLICKERS_PER_HOUR,
+) -> dict:
+    """Evaluate the enforced parity contract on a compare_annotations dict.
+
+    Returns {"ok": bool, "violations": [str, ...], plus the evaluated
+    bounds} — bench.py falls back to sp-bfp6 when ok is False, and the
+    test suite fails on any fixture regression.
+    """
+    violations: list[str] = []
+    if parity["residual_max_duration_s"] >= substantive_s:
+        violations.append(
+            f"substantive annotation ({parity['residual_max_duration_s']} s "
+            f">= {substantive_s} s) lost or invented by the coded wire"
+        )
+    flickers = parity["residual_coded_only"] + parity["residual_exact_only"]
+    hours = recording_minutes / 60.0
+    rate = flickers / hours if hours > 0 else float("inf")
+    if rate > max_flickers_per_hour:
+        violations.append(
+            f"{flickers} sub-{substantive_s}s flicker disagreements in "
+            f"{recording_minutes:g} min = {rate:.1f}/hr "
+            f"> {max_flickers_per_hour}/hr"
+        )
+    return {
+        "ok": not violations,
+        "violations": violations,
+        "flickers_per_hour": round(rate, 2),
+        "max_flickers_per_hour": max_flickers_per_hour,
+        "substantive_s": substantive_s,
+    }

@@ -296,9 +296,9 @@ def test_bench_timed_passes_plateau_escape():
 
 
 def test_bench_parity_diff_keeps_duplicate_rows(tmp_path):
-    """_compare_annotations must diff MULTISETS: a duplicated row on one
+    """compare_annotations must diff MULTISETS: a duplicated row on one
     side is a real discrepancy and the tallies must sum to the counts."""
-    from bench import _compare_annotations
+    from orcai_tpu.tools.parity import compare_annotations as _compare_annotations
 
     header = "start\tstop\tlabel\n"
     coded = tmp_path / "coded.txt"
@@ -374,6 +374,16 @@ def test_bench_degraded_link_retry():
         itertools.repeat(15.0),
     )
     assert len(attempts) == 4 and len(sleeps) == 3
+
+    # the round-3 OFFICIAL-artifact shape: 43.8 MB/s probes (healthy band)
+    # but median 4.14 s vs floor 3.13 s = 1.32x (utilization 0.756) — the
+    # old 1.35 gate admitted this as the round's headline; the tightened
+    # 1.25 gate must retry it
+    attempts, bw, sleeps = run(
+        [[4.14] * 5, [3.2] * 5], [43.8, 43.0, 46.0]
+    )
+    assert len(attempts) == 2 and len(sleeps) == 1
+    assert attempts[-1] == [3.2] * 5
 
     # the r3_run15 shape: a mediocre 37 MB/s phase, median 1.37x the floor
     # (utilization 0.73) — both gates fire; a healthy second attempt stops
