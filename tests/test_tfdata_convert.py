@@ -46,9 +46,17 @@ def _reference_save_dataset():
         pytest.skip("reference checkout not available")
     if str(REFERENCE_SRC) not in sys.path:
         sys.path.insert(0, str(REFERENCE_SRC))
-    if "zarr" not in sys.modules:
+    # install the stub only for the orcAI.io import, then remove it: a
+    # lingering fake zarr in sys.modules would break other tests'
+    # importorskip("zarr") semantics (observed: test_zarrlite interop)
+    added = "zarr" not in sys.modules
+    if added:
         sys.modules["zarr"] = types.ModuleType("zarr")
-    ref_io = pytest.importorskip("orcAI.io")
+    try:
+        ref_io = pytest.importorskip("orcAI.io")
+    finally:
+        if added:
+            del sys.modules["zarr"]
     return ref_io.save_dataset
 
 
