@@ -305,7 +305,10 @@ def cpu_spectrogram_baseline_main() -> None:
         out = tmp / "spectrogram.zarr"
         if out.exists():
             shutil.rmtree(out)
-        save_as_zarr(spec.astype(np.float32), out)
+        # same "auto" codec policy as the production driver — the baseline
+        # must not be handicapped with a slower compressor than the TPU
+        # path uses
+        save_as_zarr(spec.astype(np.float32), out, compress="auto")
         return time.time() - t0
 
     try:
@@ -767,10 +770,34 @@ def measure_tpu_spectrograms(model_dir: Path) -> dict:
     # itself forces execution — no separate forcing fetch needed)
     one_pass([warm_wav], out_dir / "warm")
     walls = [one_pass(wavs, out_dir) for _ in range(2)]
+
+    # stage attribution on one warmed recording: how much of the pass is
+    # host wav decode, device round trip (upload+compute+fetch through the
+    # tunnel — a PCIe host pays almost none of it), and store write
+    from orcai_tpu.io.wav import load_wav
+    from orcai_tpu.ops.frontend import make_spectrogram_from_params
+    from orcai_tpu.pipeline.spectrogram import save_spectrogram
+
+    sp = param["spectrogram"]
+    t0 = time.time()
+    audio, _ = load_wav(wavs[0], sr=sp["sampling_rate"])
+    t_load = time.time() - t0
+    t0 = time.time()
+    spec, freqs, times_v = make_spectrogram_from_params(audio, sp)
+    t_device = time.time() - t0
+    t0 = time.time()
+    save_spectrogram(
+        spec, freqs, times_v, out_dir / "stage_probe",
+        msgr=Messenger(verbosity=0),
+    )
+    t_write = time.time() - t0
+
     _make_recording_table(wavs)  # restore the canonical table
     shutil.rmtree(out_dir, ignore_errors=True)
     wall = float(np.median(walls))
     hours = N_RECORDINGS * BENCH_MINUTES / 60
+    from orcai_tpu.io.zarrlite import resolve_zarr_codec
+
     return {
         "rec_hr_per_min": round(hours / (wall / 60), 2),
         "wall_s_median": round(wall, 2),
@@ -778,8 +805,15 @@ def measure_tpu_spectrograms(model_dir: Path) -> dict:
         "recordings": N_RECORDINGS,
         "minutes_each": BENCH_MINUTES,
         "wire": "exact",
-        "note": "full driver incl. host gzip zarr write of the "
-        "materialized float32 spectrograms",
+        "store_codec": resolve_zarr_codec("auto"),
+        "stage_s_per_recording": {
+            "wav_load": round(t_load, 2),
+            "device_roundtrip": round(t_device, 2),
+            "store_write": round(t_write, 2),
+        },
+        "note": "full driver incl. the host store write of the "
+        "materialized float32 spectrograms; device_roundtrip includes "
+        "the tunnel upload+fetch that a PCIe-attached host would not pay",
     }
 
 

@@ -123,12 +123,26 @@ def _lz4_decompress_py(src: bytes, dest_size: int) -> bytes:
     return bytes(dst)
 
 
-def lz4_compress_block(src: bytes) -> bytes:
-    """Greedy hash-chain LZ4 block encoder (correctness-first, for fixtures).
+def lz4_compress_block(src: bytes, *, native: bool = True) -> bytes:
+    """LZ4 block encoder: C fast path, greedy hash-chain Python fallback.
+
+    The C encoder (orcai_tpu.native, a few hundred MB/s) carries the
+    production write path — blosc-lz4 zarr stores for the materialized
+    spectrograms/labels, where gzip's ~10-20 MB/s dominated data-prep wall
+    time. The Python encoder below is the dependency-free fallback.
+    Outputs are spec-conformant but not byte-identical between the two
+    (any valid LZ4 block decodes to the same bytes; tests assert
+    round-trip equality through BOTH decoders instead).
 
     Emits spec-conformant sequences; the last 5+ bytes are always literals
     and every match is >= 4 bytes, per the LZ4 block format rules.
     """
+    if native:
+        from orcai_tpu.native import lz4_compress_native
+
+        out = lz4_compress_native(src)
+        if out is not None:
+            return out
     n = len(src)
     out = bytearray()
     table: dict[bytes, int] = {}

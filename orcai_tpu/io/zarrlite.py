@@ -180,29 +180,80 @@ def open_zarr(path: Path | str) -> ZarrArray:
     return ZarrArray(path)
 
 
+def resolve_zarr_codec(compress) -> str | None:
+    """Normalize a save_as_zarr `compress` argument to a codec name.
+
+    True/"gzip" -> "gzip" (the reference's layout); "blosc-lz4" -> blosc
+    frames with byte-shuffle + the LZ4 inner codec (zarr-python v2's
+    default compressor family); False/None -> uncompressed. "auto" picks
+    blosc-lz4 when the native C encoder is available and gzip otherwise —
+    the pure-Python LZ4 encoder is slower than gzip, so the fast codec is
+    only the default where it is actually fast (ORCAI_TPU_ZARR_CODEC
+    overrides the auto choice).
+    """
+    if compress is True:
+        return "gzip"
+    if compress in (False, None):
+        return None
+    if compress == "auto":
+        import os
+
+        env = os.environ.get("ORCAI_TPU_ZARR_CODEC")
+        if env:
+            return resolve_zarr_codec(env if env != "none" else None)
+        from orcai_tpu.native import native_available
+
+        return "blosc-lz4" if native_available() else "gzip"
+    if compress in ("gzip", "blosc-lz4"):
+        return compress
+    raise ValueError(
+        f"unsupported zarr codec {compress!r} "
+        "(expected True/False/None, 'gzip', 'blosc-lz4' or 'auto')"
+    )
+
+
 def save_as_zarr(
     obj: np.ndarray,
     filename: Path | str,
     chunks: tuple[int, ...] | None = None,
     dtype: str = "float32",
-    compress: bool = True,
+    compress: bool | str | None = True,
     gzip_level: int = 5,
 ) -> None:
     """Write an array as a zarr v3 directory.
 
     Defaults match the reference's layout (io.py:296-331): float32, chunk
-    rows of 2000 spanning the full width, gzip compression.
+    rows of 2000 spanning the full width, gzip compression. `compress`
+    also accepts "blosc-lz4" (byte-shuffled LZ4 frames via the native C
+    encoder — ~20-50x faster chunk writes than gzip on the single host
+    core, the codec family zarr-python v2 wrote by default) and "auto"
+    (blosc-lz4 when the C encoder is available, else gzip); see
+    resolve_zarr_codec.
     """
     arr = np.asarray(obj, dtype=_DTYPES[dtype])
     if chunks is None:
         chunks = (min(2000, arr.shape[0]), *arr.shape[1:])
     chunks = tuple(int(min(c, s)) if s > 0 else 1 for c, s in zip(chunks, arr.shape))
 
+    codec = resolve_zarr_codec(compress)
     path = Path(filename)
     path.mkdir(parents=True, exist_ok=True)
     codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
-    if compress:
+    if codec == "gzip":
         codecs.append({"name": "gzip", "configuration": {"level": gzip_level}})
+    elif codec == "blosc-lz4":
+        codecs.append(
+            {
+                "name": "blosc",
+                "configuration": {
+                    "cname": "lz4",
+                    "clevel": 1,
+                    "shuffle": "shuffle",
+                    "typesize": int(np.dtype(_DTYPES[dtype]).itemsize),
+                    "blocksize": 0,
+                },
+            }
+        )
     meta = {
         "zarr_format": 3,
         "node_type": "array",
@@ -240,9 +291,15 @@ def save_as_zarr(
             block = full
         data = np.ascontiguousarray(block, dtype="<" + np.dtype(arr.dtype).str[1:])
         raw = data.tobytes()
-        if compress:
+        if codec == "gzip":
             co = zlib.compressobj(gzip_level, zlib.DEFLATED, 31)
             raw = co.compress(raw) + co.flush()
+        elif codec == "blosc-lz4":
+            from orcai_tpu.io.blosc import blosc_compress
+
+            raw = blosc_compress(
+                raw, typesize=np.dtype(arr.dtype).itemsize, cname="lz4"
+            )
         chunk_file = path.joinpath("c", *map(str, idx))
         chunk_file.parent.mkdir(parents=True, exist_ok=True)
         chunk_file.write_bytes(raw)

@@ -133,6 +133,10 @@ def _load_wirecodec() -> ctypes.CDLL | None:
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
         ]
         lib.orcai_lz4_decompress.restype = ctypes.c_int64
+        lib.orcai_lz4_compress.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.orcai_lz4_compress.restype = ctypes.c_int64
         lib.orcai_resample34.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
@@ -170,6 +174,25 @@ def lz4_decompress_native(src: bytes, dest_size: int) -> bytes | None:
             f"(produced {n} bytes, expected {dest_size})"
         )
     return dst.raw
+
+
+def lz4_compress_native(src: bytes) -> bytes | None:
+    """LZ4 block encode via C, or None if unavailable.
+
+    Output is spec-conformant but NOT byte-identical to the Python encoder
+    in io/blosc.py (any valid LZ4 encoding decodes to the same bytes; the
+    tested contract is round-trip equality through both decoders).
+    """
+    lib = _load_wirecodec()
+    if lib is None:
+        return None
+    n = len(src)
+    cap = n + n // 255 + 16
+    dst = ctypes.create_string_buffer(cap)
+    written = lib.orcai_lz4_compress(src, n, dst, cap)
+    if written < 0:  # pragma: no cover — cap is the worst case by spec
+        raise ValueError("lz4 compress: output buffer overflow")
+    return dst.raw[:written]
 
 
 def mulaw_encode_native(x: np.ndarray, lut: np.ndarray) -> np.ndarray | None:

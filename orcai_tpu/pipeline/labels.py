@@ -193,7 +193,11 @@ def create_label_arrays(
             msgr=Messenger(verbosity=0),
         )
         labels_dir = output_dir.joinpath(recording_table.loc[i, "recording"], "labels")
-        save_as_zarr(annotations_array.to_numpy(), labels_dir / "labels.zarr")
+        save_as_zarr(
+            annotations_array.to_numpy(),
+            labels_dir / "labels.zarr",
+            compress="auto",  # blosc-lz4 when the C encoder exists
+        )
         write_json(label_dict, labels_dir / "label_list.json")
 
     if recordings_no_labels:

@@ -83,7 +83,11 @@ def save_spectrogram(
         msgr = Messenger(verbosity=verbosity, title="Saving spectrogram")
     msgr.part("Saving spectrogram")
     output_dir = Path(output_dir)
-    save_as_zarr(spectrogram, output_dir / "spectrogram.zarr")
+    # "auto" codec: blosc-lz4 frames via the native C encoder when
+    # available (the gzip chunk writes dominated create-spectrograms wall
+    # time on the 1-core host — io/zarrlite.resolve_zarr_codec), gzip
+    # otherwise; both in the reference ecosystem's codec families
+    save_as_zarr(spectrogram, output_dir / "spectrogram.zarr", compress="auto")
     write_vector_to_json(frequencies, output_dir / "frequencies.json")
     write_vector_to_json(times, output_dir / "times.json")
 

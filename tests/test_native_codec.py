@@ -151,6 +151,9 @@ def test_gxx_only_toolchain_builds_working_library(tmp_path, monkeypatch):
         assert native.lz4_decompress_native(
             lz4_compress_block(data), len(data)
         ) == data
+        comp = native.lz4_compress_native(data)
+        assert comp is not None, "lz4 encoder missing from the g++ build"
+        assert native.lz4_decompress_native(comp, len(data)) == data
     finally:
         native._load_wirecodec.cache_clear()
 
@@ -187,6 +190,42 @@ def test_lz4_native_equals_python():
         nat = lz4_decompress_block(comp, len(data), native=True)
         ref = lz4_decompress_block(comp, len(data), native=False)
         assert nat == ref == data
+
+
+def test_lz4_compress_native_cross_decoders():
+    """Every (encoder x decoder) pairing round-trips.
+
+    The two encoders are spec-equal, NOT byte-equal (any valid LZ4 block
+    decodes to the same bytes) — so the contract tested is full cross
+    round-trip equality, not encoder output identity.
+    """
+    from orcai_tpu.io.blosc import lz4_compress_block, lz4_decompress_block
+    from orcai_tpu.native import lz4_compress_native, native_available
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(31)
+    base = np.arange(256, dtype=np.uint8).tobytes()
+    cases = [
+        b"",
+        b"abc",
+        b"x" * 13,
+        base * 64,  # long matches
+        rng.integers(0, 256, 70_000).astype(np.uint8).tobytes(),  # literals
+        (base[:3] * 9001),  # overlapping matches (offset < length)
+        rng.standard_normal(30_000).astype(np.float32).tobytes(),
+        bytes(1 << 18),  # long zero run (match-length extension bytes)
+    ]
+    for data in cases:
+        for comp in (
+            lz4_compress_native(data),
+            lz4_compress_block(data, native=False),
+        ):
+            for native_flag in (True, False):
+                assert (
+                    lz4_decompress_block(comp, len(data), native=native_flag)
+                    == data
+                )
 
 
 def test_lz4_native_rejects_corrupt():

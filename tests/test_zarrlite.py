@@ -13,6 +13,50 @@ def test_roundtrip_2d(tmp_path):
     np.testing.assert_array_equal(z[:], arr)
 
 
+def test_roundtrip_blosc_lz4(tmp_path):
+    """The fast production write codec (blosc-lz4 frames, byte-shuffle)
+    round-trips bit-exactly through the store reader."""
+    arr = np.random.default_rng(1).normal(size=(4321, 171)).astype(np.float32)
+    save_as_zarr(arr, tmp_path / "b.zarr", compress="blosc-lz4")
+    z = open_zarr(tmp_path / "b.zarr")
+    assert {c["name"] for c in z.codecs} == {"bytes", "blosc"}
+    np.testing.assert_array_equal(z[:], arr)
+    # partial reads cross chunk boundaries correctly too
+    np.testing.assert_array_equal(z[1990:2010], arr[1990:2010])
+
+
+def test_resolve_zarr_codec_policy(monkeypatch):
+    from orcai_tpu.io.zarrlite import resolve_zarr_codec
+
+    assert resolve_zarr_codec(True) == "gzip"
+    assert resolve_zarr_codec("gzip") == "gzip"
+    assert resolve_zarr_codec(False) is None
+    assert resolve_zarr_codec(None) is None
+    assert resolve_zarr_codec("blosc-lz4") == "blosc-lz4"
+    with pytest.raises(ValueError):
+        resolve_zarr_codec("snappy")
+
+    # auto: env override wins; else native availability decides (the
+    # pure-Python lz4 encoder is slower than gzip, so hosts without the C
+    # encoder must stay on gzip)
+    monkeypatch.setenv("ORCAI_TPU_ZARR_CODEC", "gzip")
+    assert resolve_zarr_codec("auto") == "gzip"
+    monkeypatch.setenv("ORCAI_TPU_ZARR_CODEC", "none")
+    assert resolve_zarr_codec("auto") is None
+    monkeypatch.delenv("ORCAI_TPU_ZARR_CODEC")
+    import orcai_tpu.native as native
+
+    monkeypatch.setenv("ORCAI_TPU_DISABLE_NATIVE", "1")
+    native._load_wirecodec.cache_clear()
+    try:
+        assert resolve_zarr_codec("auto") == "gzip"
+    finally:
+        monkeypatch.delenv("ORCAI_TPU_DISABLE_NATIVE")
+        native._load_wirecodec.cache_clear()
+    if native.native_available():
+        assert resolve_zarr_codec("auto") == "blosc-lz4"
+
+
 def test_row_slicing_across_chunks(tmp_path):
     arr = np.arange(5000 * 7, dtype=np.float32).reshape(5000, 7)
     save_as_zarr(arr, tmp_path / "a.zarr", chunks=(2000, 7))
