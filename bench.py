@@ -1143,48 +1143,60 @@ def main() -> None:
     def emit() -> None:
         if not emitted.is_set():
             emitted.set()
+            # snapshot: the watchdog thread can fire while the main thread
+            # is assigning report keys; iterating the live dict there
+            # could raise mid-mutation and kill the watchdog before its
+            # exit (fire() also guards with try/finally)
+            report_now = dict(report)
             # the driver captures only the TAIL of this single JSON line, so
             # the compact headline block must be the LAST key — re-inserted
             # here so it is last even when the watchdog emits a partial
             # artifact (dict insertion order is JSON emission order)
-            report.pop("headline", None)
-            report["headline"] = {
-                "metric": report.get("metric"),
-                "value": report.get("value"),
-                "unit": report.get("unit"),
-                "vs_baseline": report.get("vs_baseline"),
-                "vs_baseline_pooled": report.get("vs_baseline_pooled"),
-                "cpu_baseline_fresh": (report.get("cpu_baseline") or {}).get(
+            report_now.pop("headline", None)
+            report_now["headline"] = {
+                "metric": report_now.get("metric"),
+                "value": report_now.get("value"),
+                "unit": report_now.get("unit"),
+                "vs_baseline": report_now.get("vs_baseline"),
+                "vs_baseline_pooled": report_now.get("vs_baseline_pooled"),
+                "cpu_baseline_fresh": (report_now.get("cpu_baseline") or {}).get(
                     "rec_hr_per_min_median"
                 ),
                 "cpu_baseline_pooled_median": (
-                    report.get("cpu_baseline_pooled") or {}
+                    report_now.get("cpu_baseline_pooled") or {}
                 ).get("median"),
                 "link_utilization": (
-                    report.get("transfer_floor") or {}
+                    report_now.get("transfer_floor") or {}
                 ).get("link_utilization"),
-                "wire": (report.get("wire") or {}).get("codec"),
+                "wire": (report_now.get("wire") or {}).get("codec"),
                 "parity_ok": (
-                    (report.get("wire") or {}).get("parity_gate") or {}
+                    (report_now.get("wire") or {}).get("parity_gate") or {}
                 ).get("ok"),
                 "train_snippets_per_s_b128": (
-                    (report.get("train") or {}).get("batch128") or {}
+                    (report_now.get("train") or {}).get("batch128") or {}
                 ).get("snippets_per_s"),
                 "hpsearch_trials_per_hr": (
-                    report.get("hpsearch") or {}
+                    report_now.get("hpsearch") or {}
                 ).get("trials_per_hr"),
             }
-            print(json.dumps(report), flush=True)
+            print(json.dumps(report_now), flush=True)
 
     deadline_s = float(os.environ.get("ORCAI_TPU_BENCH_DEADLINE_S", "5400"))
 
     def fire() -> None:
-        report["error"] = (
-            f"bench watchdog fired after {deadline_s:.0f}s — a TPU phase "
-            "hung (wedged tunnel?); partial results only"
-        )
-        emit()
-        os._exit(2)
+        # the force-exit must survive ANYTHING emit() does: it runs in the
+        # Timer thread while the main thread mutates `report`, and a
+        # watchdog that dies before os._exit would leave the wedged bench
+        # hanging with no artifact — the exact failure it exists to stop
+        # (emit() also snapshots the dict before serializing)
+        try:
+            report["error"] = (
+                f"bench watchdog fired after {deadline_s:.0f}s — a TPU "
+                "phase hung (wedged tunnel?); partial results only"
+            )
+            emit()
+        finally:
+            os._exit(2)
 
     watchdog = threading.Timer(deadline_s, fire)
     watchdog.daemon = True

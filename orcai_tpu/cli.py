@@ -522,10 +522,13 @@ def cli_convert_dataset(tvt_dir, output_dir, data_compression, overwrite,
         tvt_dir, output_dir=output_dir, compression=data_compression,
         overwrite=overwrite, msgr=msgr,
     )
-    msgr.part(
-        "Converted "
-        + ", ".join(f"{k} ({v} samples)" for k, v in converted.items())
-    )
+    if converted:
+        msgr.part(
+            "Converted "
+            + ", ".join(f"{k} ({v} samples)" for k, v in converted.items())
+        )
+    else:
+        msgr.part("Nothing to convert (all splits already converted)")
 
 
 @cli.command(

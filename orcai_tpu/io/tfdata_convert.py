@@ -67,7 +67,16 @@ def _load_tf_snapshot(path: Path, compression: str | None):
         try:
             next(iter(ds.take(1)))  # forces a real shard read
             return ds
-        except Exception as err:  # DataLossError on wrong compression
+        except StopIteration:
+            # a valid snapshot with zero elements: readable, just empty
+            # (the downstream materialization refuses empty datasets with
+            # its own clear error)
+            return ds
+        except tf.errors.DataLossError as err:
+            # the one error a wrong compression flag produces — try the
+            # next candidate. Anything else (missing shard, permission,
+            # corrupt spec) is a real problem and must surface as itself,
+            # not be misreported as a compression mismatch.
             last_err = err
     raise ValueError(
         f"Could not read tf.data snapshot at {path} with compression "
@@ -81,7 +90,16 @@ class _TFDatasetLoader:
 
     def __init__(self, ds):
         n = int(ds.cardinality().numpy())
-        if n < 0:  # UNKNOWN cardinality: count with one metadata-only pass
+        if n < 0:
+            # UNKNOWN cardinality (snapshots restore a known count, so
+            # this is a fallback for exotic inputs): counting requires a
+            # full extra read of the dataset before the conversion pass
+            import tensorflow as tf
+
+            if n == int(tf.data.INFINITE_CARDINALITY):
+                raise ValueError(
+                    "refusing to materialize an infinite tf dataset"
+                )
             n = sum(1 for _ in ds)
         self.n = n
         self.ds = ds
@@ -163,17 +181,30 @@ def convert_tvt_datasets(
         raise NotADirectoryError(f"tvt_dir does not exist: {tvt_dir}")
 
     converted: dict[str, int] = {}
+    found = 0
     for name in TVT_DATASET_NAMES:
         src = tvt_dir / name
         if not src.is_dir() or not is_tf_snapshot(src):
             continue
+        found += 1
         dst = out_base / name
         dst.mkdir(parents=True, exist_ok=True)
-        converted[name] = convert_tf_dataset(
-            src, dst, compression=compression, shard_size=shard_size,
-            overwrite=overwrite, msgr=msgr,
-        )
-    if not converted:
+        try:
+            converted[name] = convert_tf_dataset(
+                src, dst, compression=compression, shard_size=shard_size,
+                overwrite=overwrite, msgr=msgr,
+            )
+        except FileExistsError:
+            # crash-resume semantics, like every batch driver in this
+            # package (pipeline/snippets.py): a split converted by an
+            # earlier run is skipped with a warning, so a conversion
+            # interrupted mid-TVT resumes from where it stopped instead
+            # of aborting (or re-paying finished splits via overwrite)
+            msgr.warning(
+                f"{name} already converted at {dst}; skipping "
+                "(use --overwrite to redo)"
+            )
+    if not found:
         raise FileNotFoundError(
             f"No tf.data snapshot dataset dirs found under {tvt_dir} "
             f"(looked for {', '.join(TVT_DATASET_NAMES)})"
@@ -189,14 +220,21 @@ def convert_tvt_datasets(
     if not shapes_path.exists():
         import json
 
-        first = next(iter(converted))
-        ds = ArrayDataset.load(out_base / first)
-        shapes_path.write_text(
-            json.dumps(
-                {
-                    "spectrogram": list(ds.spectrogram_shape),
-                    "labels": list(ds.labels_shape),
-                }
-            )
+        first = next(
+            (
+                n for n in TVT_DATASET_NAMES
+                if (out_base / n / "meta.json").exists()
+            ),
+            None,
         )
+        if first is not None:
+            ds = ArrayDataset.load(out_base / first)
+            shapes_path.write_text(
+                json.dumps(
+                    {
+                        "spectrogram": list(ds.spectrogram_shape),
+                        "labels": list(ds.labels_shape),
+                    }
+                )
+            )
     return converted

@@ -22,8 +22,7 @@
 extern "C" {
 #endif
 
-#define HASH_LOG 16
-#define HASH_SIZE (1 << HASH_LOG)
+#define MAX_HASH_LOG 16
 #define SKIP_TRIGGER 6 /* like reference LZ4: accelerate on no-match runs */
 
 static inline uint32_t read32(const uint8_t *p) {
@@ -32,16 +31,26 @@ static inline uint32_t read32(const uint8_t *p) {
   return v;
 }
 
-static inline uint32_t hash4(uint32_t v) {
-  return (v * 2654435761u) >> (32 - HASH_LOG);
+static inline uint32_t hash4(uint32_t v, int shift) {
+  return (v * 2654435761u) >> shift;
 }
 
 /* Returns bytes written to dst, or -1 when dst_cap is too small (caller
  * sizes dst at n + n/255 + 16, so -1 only means a mis-sized buffer). */
 int64_t orcai_lz4_compress(const uint8_t *src, int64_t n, uint8_t *dst,
                            int64_t dst_cap) {
-  int64_t table[HASH_SIZE];
-  for (int i = 0; i < HASH_SIZE; ++i) table[i] = -1;
+  /* Scale the table to the input: blosc splits 128 KB blocks into
+   * typesize 32 KB sub-streams, and a fixed 64K-entry int64 table costs
+   * 512 KB of zeroing per call — 16x the payload in pure init overhead.
+   * int32 entries (inputs here are << 2 GB) + a log sized so the table
+   * never exceeds the input keep init amortized; positions are stored
+   * +1 so memset(0) means "empty". */
+  if (n > 0x7ffffff0) return -1; /* int32 position table; chunks are small */
+  int hash_log = MAX_HASH_LOG;
+  while (hash_log > 8 && ((int64_t)1 << hash_log) > n) --hash_log;
+  const int shift = 32 - hash_log;
+  int32_t table[1 << MAX_HASH_LOG];
+  memset(table, 0, sizeof(int32_t) << hash_log);
 
   int64_t d = 0, anchor = 0, i = 0;
   const int64_t limit = n - 12;      /* matches may not start here or later */
@@ -50,9 +59,9 @@ int64_t orcai_lz4_compress(const uint8_t *src, int64_t n, uint8_t *dst,
 
   while (i < limit) {
     const uint32_t key = read32(src + i);
-    const uint32_t h = hash4(key);
-    const int64_t j = table[h];
-    table[h] = i;
+    const uint32_t h = hash4(key, shift);
+    const int64_t j = (int64_t)table[h] - 1; /* 0 = empty slot */
+    table[h] = (int32_t)(i + 1);
     if (j >= 0 && i - j <= 65535 && read32(src + j) == key) {
       /* extend the match */
       int64_t mlen = 4;

@@ -102,6 +102,9 @@ def compare_annotations(
         "residual_coded_only": len(rest_a),
         "residual_exact_only": len(rest_b),
         "residual_max_duration_s": round(max(residual_durs, default=0.0), 3),
+        # per-residual durations so the contract can count true flickers
+        # (sub-threshold residuals) separately from substantive losses
+        "residual_durations_s": [round(d, 3) for d in sorted(residual_durs)],
     }
 
 
@@ -124,7 +127,20 @@ def check_wire_parity(
             f"substantive annotation ({parity['residual_max_duration_s']} s "
             f">= {substantive_s} s) lost or invented by the coded wire"
         )
-    flickers = parity["residual_coded_only"] + parity["residual_exact_only"]
+    n_residuals = (
+        parity["residual_coded_only"] + parity["residual_exact_only"]
+    )
+    # true flickers are only the SUB-threshold residuals; substantive
+    # residuals are a different defect class (violation above) and must
+    # not inflate the flicker metric the docs quote. Older parity dicts
+    # without per-residual durations fall back to the total (every
+    # residual counted — conservative).
+    durs = parity.get("residual_durations_s")
+    flickers = (
+        sum(1 for d in durs if d < substantive_s)
+        if durs is not None
+        else n_residuals
+    )
     hours = recording_minutes / 60.0
     rate = flickers / hours if hours > 0 else float("inf")
     if rate > max_flickers_per_hour:

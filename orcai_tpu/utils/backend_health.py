@@ -18,18 +18,21 @@ that the same event produces when it lands mid-RPC.
 
 from __future__ import annotations
 
-# Known phrasings of the backend-death family. The first is the literal
-# message observed on this tunnel (CLAUDE.md); the rest are the transport
-# errors the same worker death produces when it severs an in-flight RPC.
+# Known phrasings of the backend-death family. The first three are the
+# literal worker-death messages observed on this tunnel (CLAUDE.md); the
+# rest are the transport errors the same death produces when it severs an
+# in-flight RPC. Deliberately NOT included: generic gRPC status texts
+# ("UNAVAILABLE: ...", "connection reset by peer") — they also appear in
+# the __context__ of transient, already-recovered RPC hiccups, and a
+# false positive here costs a pointless predictor rebuild + re-warm
+# (minutes of lazy program loads) plus a doomed retry of a bad input.
 _CRASH_MARKERS = (
     "worker process crashed",
     "worker process restarted",
     "crashed or restarted",
     "socket closed",
-    "connection reset by peer",
     "failed to connect to remote server",
     "stream removed",
-    "unavailable: ",  # gRPC UNAVAILABLE status text form
 )
 
 

@@ -88,6 +88,31 @@ def test_contract_perfect_parity():
     assert gate["ok"] and gate["flickers_per_hour"] == 0.0
 
 
+def test_contract_separates_substantive_from_flickers():
+    """With per-residual durations available (compare_annotations emits
+    them), substantive residuals fire their own violation but do NOT
+    inflate the flicker metric the docs quote."""
+    p = _parity(residuals=3, max_dur=2.0)
+    p["residual_durations_s"] = [0.2, 0.3, 2.0]
+    gate = check_wire_parity(p, recording_minutes=20)
+    assert not gate["ok"]  # the 2.0 s substantive loss
+    assert gate["flickers_per_hour"] == 6.0  # only the two sub-threshold
+    assert not any("flicker" in v for v in gate["violations"])
+
+
+def test_compare_annotations_emits_residual_durations(tmp_path):
+    header = "start\tstop\tlabel\n"
+    coded = tmp_path / "c.txt"
+    exact = tmp_path / "e.txt"
+    coded.write_text(header + "1.0\t1.2\tBUZZ\n")
+    exact.write_text(header + "5.0\t7.0\tWHISTLE\n")
+    rep = compare_annotations(coded, exact)
+    assert rep["residual_durations_s"] == [0.2, 2.0]
+    gate = check_wire_parity(rep, recording_minutes=20)
+    assert not gate["ok"]
+    assert gate["flickers_per_hour"] == 3.0  # only the 0.2 s one
+
+
 # ------------------------------------------------- real-pipeline margin
 
 

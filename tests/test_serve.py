@@ -280,6 +280,11 @@ def test_is_backend_crash_classifier():
         assert is_backend_crash(outer)
     assert not is_backend_crash(ValueError("recording too short"))
     assert not is_backend_crash(FileNotFoundError("x.wav"))
+    # generic gRPC status texts are deliberately NOT classified as death:
+    # they also ride the __context__ of transient, recovered hiccups, and
+    # a false positive costs a minutes-long rebuild + a doomed retry
+    assert not is_backend_crash(RuntimeError("UNAVAILABLE: ipv4:..."))
+    assert not is_backend_crash(OSError("Connection reset by peer"))
 
 
 def test_scan_ready_waits_for_stable_signature(tmp_path):

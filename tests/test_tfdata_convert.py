@@ -200,3 +200,38 @@ def test_convert_tvt_no_snapshots_raises(tmp_path):
     (tmp_path / "train_dataset").mkdir()
     with pytest.raises(FileNotFoundError):
         convert_tvt_datasets(tmp_path)
+
+
+def test_convert_tvt_resumes_after_partial_run(tmp_path):
+    """Crash-resume semantics: already-converted splits are skipped with a
+    warning (not FileExistsError-aborted), so an interrupted conversion
+    resumes without re-paying finished splits."""
+    tvt = tmp_path / "tvt"
+    tvt.mkdir()
+    xa, ya = _arrays(4, seed=20)
+    xb, yb = _arrays(3, seed=21)
+    _save_ref_dataset(tvt / "train_dataset", xa, ya)
+    _save_ref_dataset(tvt / "val_dataset", xb, yb)
+
+    # first (partial) run: only train converted
+    convert_tf_dataset(tvt / "train_dataset")
+    # full-tvt run must skip train, convert val, and not raise
+    converted = convert_tvt_datasets(tvt)
+    assert converted == {"val_dataset": 3}
+    np.testing.assert_array_equal(
+        np.asarray(ArrayDataset.load(tvt / "val_dataset").x), xb
+    )
+    # a third run converts nothing and still succeeds
+    assert convert_tvt_datasets(tvt) == {}
+
+
+def test_convert_empty_snapshot_refused_clearly(tmp_path):
+    """A zero-element snapshot is readable (not a compression-mismatch
+    error) but refused by the materializer with its clear empty-dataset
+    message."""
+    src = tmp_path / "train_dataset"
+    x = np.zeros((0, *INPUT_SHAPE), np.float32)
+    y = np.zeros((0, *OUT_SHAPE), np.float32)
+    _save_ref_dataset(src, x, y)
+    with pytest.raises(ValueError, match="empty"):
+        convert_tf_dataset(src)
