@@ -1,6 +1,7 @@
 """Coverage extras: ResNet1DConv training path, call weights computation."""
 
 import numpy as np
+import pytest
 
 from orcai_tpu.io.dataset import SnippetDataLoader
 from orcai_tpu.models import build_model
@@ -400,6 +401,56 @@ def test_bench_degraded_link_retry():
         [[9.5] * 5, [3.2] * 5], [15.0, 15.0, 48.0]
     )
     assert len(attempts) == 2 and len(sleeps) == 1
+
+
+def test_bench_parity_fallback_policy():
+    """bench.predict_with_parity_fallback: pass-through on a green gate,
+    one fallback re-measure on violation, hard failure when the fallback
+    violates too."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import predict_with_parity_fallback
+
+    def result(wire, ok, value):
+        return {
+            "value": value,
+            "wire": {"codec": wire, "parity_gate": {"ok": ok,
+                                                    "violations": ["v"]}},
+        }
+
+    # green gate: no fallback
+    calls = []
+
+    def measure_ok(wire=None):
+        calls.append(wire)
+        return result(wire or "sp-bfp5", True, 30.0)
+
+    res, fb = predict_with_parity_fallback(measure_ok)
+    assert fb is None and res["value"] == 30.0 and calls == [None]
+
+    # violation -> one re-measure on sp-bfp6, original attempt recorded
+    def measure_flaky(wire=None):
+        return result(wire or "sp-bfp5", wire == "sp-bfp6", 25.0)
+
+    res, fb = predict_with_parity_fallback(measure_flaky)
+    assert res["wire"]["codec"] == "sp-bfp6"
+    assert fb == {"wire": result("sp-bfp5", False, 25.0)["wire"],
+                  "value": 25.0}
+
+    # both wires violate -> hard failure, no headline
+    with pytest.raises(RuntimeError, match="sp-bfp6 fallback"):
+        predict_with_parity_fallback(
+            lambda wire=None: result(wire or "sp-bfp5", False, 25.0)
+        )
+
+    # a run without a parity gate (exact wire) passes through
+    res, fb = predict_with_parity_fallback(
+        lambda wire=None: {"value": 1.0, "wire": {"codec": "exact",
+                                                  "parity_gate": None}}
+    )
+    assert fb is None
 
 
 def _plan_only_predictor(snippet, nf, bsz, cap):
