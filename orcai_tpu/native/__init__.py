@@ -10,7 +10,12 @@ the 1-core encode stage.
 
 Current contents: the wire-codec host encoders (``wirecodec.c``) — the
 block-floating-point encode is the one host loop that sits on the predict
-critical path (see ops/wire_codec.py for why).
+critical path (see ops/wire_codec.py for why) — the polyphase resamplers
+(``resample.c``), and the LZ4 block codec (``lz4dec.c``/``lz4enc.c``)
+behind blosc-framed zarr stores: decode for bulk reads of upstream
+blosc-lz4 data, encode for the materialized spectrogram/label stores
+(gzip writes dominated create-spectrograms wall time; see
+io/zarrlite.resolve_zarr_codec).
 """
 
 from __future__ import annotations
