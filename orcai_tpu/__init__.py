@@ -19,6 +19,6 @@ Keeps the reference's CLI surface, on-disk formats, parameter JSON schema,
 and seed-registry semantics so projects can switch over in place.
 """
 
-__version__ = "0.5.0"
+__version__ = "0.6.0"
 
 MASK_VALUE = -1.0
