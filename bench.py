@@ -672,10 +672,13 @@ def measure_tpu_predict(model_dir: Path, wire: str | None = None) -> dict:
             predictor=predictor,
             wire="exact",
         )
+        from orcai_tpu.tools.parity import row_seconds_for
+
         wire_parity = {"recording_checked": outputs[0].name}
         wire_parity.update(
             compare_annotations(
-                out_dir / outputs[0].name, exact_dir / outputs[0].name
+                out_dir / outputs[0].name, exact_dir / outputs[0].name,
+                row_seconds=row_seconds_for(orcai_parameter),
             )
         )
         parity_gate = check_wire_parity(wire_parity, BENCH_MINUTES)
@@ -946,12 +949,17 @@ def measure_tpu_streaming(
     # wire regrids (sp-bfp5) while streaming keeps the native grid with
     # the base codec — so the contract check (tools/parity.py) is the
     # right equivalence, with byte equality reported when it happens.
-    from orcai_tpu.tools.parity import check_wire_parity, compare_annotations
+    from orcai_tpu.tools.parity import (
+        check_wire_parity,
+        compare_annotations,
+        row_seconds_for,
+    )
 
     mem_tsv = (out / "stream_False.txt").read_text()
     stream_tsv = (out / "stream_True.txt").read_text()
     stream_parity = compare_annotations(
-        out / "stream_True.txt", out / "stream_False.txt"
+        out / "stream_True.txt", out / "stream_False.txt",
+        row_seconds=row_seconds_for(orcai_parameter),
     )
     stream_gate = check_wire_parity(stream_parity, minutes)
 
@@ -959,7 +967,27 @@ def measure_tpu_streaming(
     mem_wall = float(np.median(mem_walls))
     stream_wall = float(np.median(stream_walls))
     factor = stream_wall / mem_wall
+    # both streaming gates are ENFORCED, not just reported (advisor
+    # finding, round 4): a >2x overhead factor or a violated parity
+    # contract marks the phase failed in the artifact so a regression on
+    # the long-recording path cannot hide behind a green headline
+    gate_violations = []
+    if factor > 2.0:
+        gate_violations.append(
+            f"streaming overhead {factor:.2f}x in-memory > 2.0x gate"
+        )
+    if not stream_gate["ok"]:
+        gate_violations.append(
+            "streaming parity contract violated vs in-memory: "
+            + "; ".join(stream_gate["violations"])
+        )
+    gate = (
+        {"gate_failed": True, "gate_violations": gate_violations}
+        if gate_violations
+        else {}
+    )
     return {
+        **gate,
         "rec_hr_per_min": round(hours / (stream_wall / 60), 2),
         "in_memory_rec_hr_per_min": round(hours / (mem_wall / 60), 2),
         "wall_s_median": round(stream_wall, 2),

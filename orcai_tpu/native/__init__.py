@@ -192,6 +192,14 @@ def lz4_compress_native(src: bytes) -> bytes | None:
     if lib is None:
         return None
     n = len(src)
+    if n > 0x7FFFFFF0:
+        # the C side also guards this with the same -1 it uses for buffer
+        # overflow; check here so a >2 GB input gets its own message
+        # instead of being misreported as a buffer sizing bug
+        raise ValueError(
+            f"lz4 compress: input too large ({n} bytes > 0x7ffffff0); "
+            "chunk the payload"
+        )
     cap = n + n // 255 + 16
     dst = ctypes.create_string_buffer(cap)
     written = lib.orcai_lz4_compress(src, n, dst, cap)

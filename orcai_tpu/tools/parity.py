@@ -45,6 +45,20 @@ BOUNDARY_ROWS = 2
 MAX_FLICKERS_PER_HOUR = 27.0
 
 
+def row_seconds_for(orcai_parameter: dict) -> float:
+    """One aggregation row in seconds for a model's actual geometry.
+
+    2**n_filters spectrogram frames per output row (models/crnn.py) at
+    hop/sr seconds per frame. Bench call sites derive the boundary
+    tolerance from THIS instead of compare_annotations' orcai-v1 default,
+    so a model with a different trunk depth or hop gets the right +-2-row
+    window (advisor finding, round 4).
+    """
+    sp = orcai_parameter["spectrogram"]
+    n_filters = len(orcai_parameter["model"]["filters"])
+    return 2**n_filters * sp["n_overlap"] / sp["sampling_rate"]
+
+
 def read_annotations(path: Path | str) -> list[tuple[float, float, str]]:
     """Rows of an Audacity label TSV (start, stop, label), header skipped."""
     out = []
@@ -93,7 +107,7 @@ def compare_annotations(
             used.add(hit)
             shifted += 1
     rest_b = [r for j, r in enumerate(rb) if j not in used]
-    residual_durs = [e - s for s, e, _ in rest_a + rest_b]
+    residual_durs = sorted(e - s for s, e, _ in rest_a + rest_b)
     return {
         "annotations_coded": len(a),
         "annotations_exact": len(b),
@@ -103,8 +117,12 @@ def compare_annotations(
         "residual_exact_only": len(rest_b),
         "residual_max_duration_s": round(max(residual_durs, default=0.0), 3),
         # per-residual durations so the contract can count true flickers
-        # (sub-threshold residuals) separately from substantive losses
-        "residual_durations_s": [round(d, 3) for d in sorted(residual_durs)],
+        # (sub-threshold residuals) separately from substantive losses;
+        # rounded for the report, raw for the gate — a 0.7495 s residual
+        # must not round up INTO the 0.75 s substantive class before the
+        # threshold compare (advisor finding, round 4)
+        "residual_durations_s": [round(d, 3) for d in residual_durs],
+        "residual_durations_raw_s": residual_durs,
     }
 
 
@@ -122,9 +140,19 @@ def check_wire_parity(
     test suite fails on any fixture regression.
     """
     violations: list[str] = []
-    if parity["residual_max_duration_s"] >= substantive_s:
+    # gate on UNROUNDED durations when the dict carries them (new-style
+    # compare_annotations output): the 3-decimal report rounding must not
+    # promote a 0.7495 s residual into the substantive class or demote a
+    # 0.7504 s one out of it
+    raw_durs = parity.get("residual_durations_raw_s")
+    max_dur = (
+        max(raw_durs, default=0.0)
+        if raw_durs is not None
+        else parity["residual_max_duration_s"]
+    )
+    if max_dur >= substantive_s:
         violations.append(
-            f"substantive annotation ({parity['residual_max_duration_s']} s "
+            f"substantive annotation ({round(max_dur, 3)} s "
             f">= {substantive_s} s) lost or invented by the coded wire"
         )
     n_residuals = (
@@ -135,7 +163,9 @@ def check_wire_parity(
     # not inflate the flicker metric the docs quote. Older parity dicts
     # without per-residual durations fall back to the total (every
     # residual counted — conservative).
-    durs = parity.get("residual_durations_s")
+    durs = raw_durs if raw_durs is not None else parity.get(
+        "residual_durations_s"
+    )
     flickers = (
         sum(1 for d in durs if d < substantive_s)
         if durs is not None
