@@ -268,6 +268,50 @@ class Trainer:
 
         return train_epoch_fn, eval_epoch_fn
 
+    def build_eval_probs_scan(self):
+        """One-dispatch evaluation over a staged batch stack, with probs.
+
+        Takes X (n_batches, B, ...) and Y (n_batches, B, T, L) already in
+        batch order and returns (metrics (n_batches, 3), probs
+        (n_batches, B, T, L) float32) from a single jitted lax.scan — the
+        device-resident `orcai test` path (train/evaluate.py): the test
+        split crosses the link ONCE (optionally quantized to uint8/uint16
+        on [0, 1] spectrograms; dequantized on device) and only the tiny
+        probability tensor comes back, instead of a per-batch
+        upload+dispatch loop through the ~40 MB/s tunnel. Reference
+        equivalent: the model.predict pass of test.py:228-287.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        multi_device = self.mesh.shape["data"] > 1
+        stack_sh = NamedSharding(self.mesh, P(None, "data"))
+
+        def dequant(x):
+            # inverse of evaluate.quantize_eval_upload — one fused
+            # multiply on device, [0, 1] spectrograms
+            if x.dtype == jnp.uint8:
+                return x.astype(jnp.float32) * (1.0 / 255.0)
+            if x.dtype == jnp.uint16:
+                return x.astype(jnp.float32) * (1.0 / 65535.0)
+            return x
+
+        @jax.jit
+        def eval_scan(params, batch_stats, X, Y):
+            if multi_device:
+                X = jax.lax.with_sharding_constraint(X, stack_sh)
+                Y = jax.lax.with_sharding_constraint(Y, stack_sh)
+
+            def step(_, xy):
+                x, y = xy
+                return None, self._eval_step_probs(
+                    params, batch_stats, dequant(x), y
+                )
+
+            _, (ms, ps) = jax.lax.scan(step, None, (X, Y))
+            return ms, ps
+
+        return eval_scan
+
     # -- epoch loops ----------------------------------------------------------
 
     def run_train_epoch(self, state, batches) -> tuple[tuple, dict]:

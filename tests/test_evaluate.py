@@ -150,3 +150,138 @@ def test_test_model_covers_remainder_and_small_splits(tmp_path):
         assert result["data_metrics"]["loss"] == pytest.approx(
             single["data_metrics"]["loss"], rel=1e-5
         )
+
+
+def _tiny_eval_setup(n=13, batch_size=8, seed=0):
+    from orcai_tpu.io.dataset import ArrayDataset
+    from orcai_tpu.models import build_model, init_variables
+    from orcai_tpu.train.trainer import Trainer, make_optimizer
+
+    param = {
+        "name": "ev2", "architecture": "ResNetLSTM", "calls": ["A", "B"],
+        "seed": 1,
+        "model": {"batch_size": batch_size, "filters": [2, 2],
+                  "kernel_size": 3, "dropout_rate": 0.1, "lstm_units": 4,
+                  "learning_rate": 1e-3},
+    }
+    input_shape = (8, 12, 1)
+    model = build_model(param)
+    variables = init_variables(model, input_shape, seed=0)
+    trainer = Trainer(model, make_optimizer(1e-3))
+    state = (variables["params"], variables.get("batch_stats", {}), None, None)
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(size=(n, *input_shape)).astype(np.float32)
+    y = rng.integers(0, 2, (n, 2, 2)).astype(np.float32)
+    return param, trainer, state, ArrayDataset(x, y)
+
+
+def test_device_resident_eval_matches_per_batch_loop():
+    """The staged one-scan path (f32 upload) must reproduce the plain
+    per-batch jitted loop EXACTLY: same seeded batch order, identical
+    metrics, and byte-identical confusion/misclassification tables —
+    restructuring the transfers must not move a single number."""
+    import jax.numpy as jnp
+
+    from orcai_tpu.train.evaluate import _test_model_on_dataset
+    from orcai_tpu.utils import MASK_VALUE, Messenger
+
+    param, trainer, state, ds = _tiny_eval_setup()
+    seed = [3, 7]
+    got = _test_model_on_dataset(
+        trainer, state, ds, batch_size=8, seed=seed,
+        label_names=param["calls"], dataset_name="staged",
+        msgr=Messenger(verbosity=0), upload="f32",
+    )
+
+    # reference: the pre-round-5 per-batch loop, transcribed
+    params, batch_stats = state[0], state[1]
+    y_true_parts, y_pred_parts = [], []
+    losses, correct, total, n_snippets = 0.0, 0.0, 0.0, 0
+    for x, y in ds.batches(8, seed=seed, drop_remainder=False):
+        k = len(x)
+        if k < 8:
+            pad = 8 - k
+            x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)])
+            y = np.concatenate(
+                [y, np.full((pad, *y.shape[1:]), MASK_VALUE, y.dtype)]
+            )
+        metrics, probs = trainer.eval_step_probs(
+            params, batch_stats, jnp.asarray(x), jnp.asarray(y)
+        )
+        metrics = np.asarray(metrics)
+        losses += metrics[0] * k
+        correct += metrics[1]
+        total += metrics[2]
+        n_snippets += k
+        y_pred_parts.append(np.asarray(probs)[:k])
+        y_true_parts.append(y[:k])
+    ref_loss = float(losses / n_snippets)
+    ref_mba = float(correct / max(total, 1.0))
+    y_pred = np.concatenate(y_pred_parts)
+    y_true = np.concatenate(y_true_parts)
+    ref_conf = compute_confusion_table(y_true, y_pred, param["calls"])
+    ref_tables = compute_misclassification_tables(
+        np.vstack(y_true).astype(int),
+        np.vstack((y_pred >= 0.5).astype(int)),
+        "true", "pred", param["calls"],
+    )
+
+    assert got["data_metrics"]["loss"] == pytest.approx(ref_loss, abs=0.0)
+    assert got["data_metrics"]["MBA"] == pytest.approx(ref_mba, abs=0.0)
+    pd.testing.assert_frame_equal(
+        got["confusion_table"], ref_conf, check_exact=True
+    )
+    for key in ref_tables:
+        pd.testing.assert_frame_equal(
+            got["misclassification_tables"][key], ref_tables[key],
+            check_exact=True,
+        )
+
+
+def test_eval_upload_quantization_close_and_policy(monkeypatch):
+    """u8/u16 staged uploads agree with the exact evaluation at table
+    level on [0, 1] spectrogram data, and the auto policy resolves to u8
+    only on TPU backends."""
+    from orcai_tpu.train.evaluate import (
+        _test_model_on_dataset,
+        quantize_eval_upload,
+        resolve_eval_upload,
+    )
+    from orcai_tpu.utils import Messenger
+
+    monkeypatch.delenv("ORCAI_TPU_EVAL_UPLOAD", raising=False)
+    assert resolve_eval_upload(None, backend="tpu") == "u8"
+    assert resolve_eval_upload(None, backend="cpu") == "f32"
+    assert resolve_eval_upload("u16") == "u16"
+    monkeypatch.setenv("ORCAI_TPU_EVAL_UPLOAD", "u16")
+    assert resolve_eval_upload(None, backend="tpu") == "u16"
+    monkeypatch.delenv("ORCAI_TPU_EVAL_UPLOAD", raising=False)
+    with pytest.raises(ValueError):
+        resolve_eval_upload("bogus")
+
+    # quantizer: exact on the grid, <= half-step error off it
+    g = np.linspace(0, 1, 256).astype(np.float32)
+    q = quantize_eval_upload(g, "u8")
+    assert q.dtype == np.uint8
+    np.testing.assert_allclose(q / 255.0, g, atol=0.5 / 255)
+
+    param, trainer, state, ds = _tiny_eval_setup(n=16)
+    results = {
+        u: _test_model_on_dataset(
+            trainer, state, ds, batch_size=8, seed=[1, 2],
+            label_names=param["calls"], dataset_name=u,
+            msgr=Messenger(verbosity=0), upload=u,
+        )
+        for u in ("f32", "u16", "u8")
+    }
+    exact = results["f32"]
+    for u in ("u16", "u8"):
+        got = results[u]
+        assert got["data_metrics"]["loss"] == pytest.approx(
+            exact["data_metrics"]["loss"], abs=2e-3
+        )
+        np.testing.assert_allclose(
+            got["confusion_table"][["TP", "FN", "FP", "TN"]].values,
+            exact["confusion_table"][["TP", "FN", "FP", "TN"]].values,
+            atol=0.02,
+        )
