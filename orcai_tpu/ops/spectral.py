@@ -246,6 +246,65 @@ def spectral_downsample(
     return resample_poly(audio, sr, pass_hz, L, M), sr_lm, n_fft_lm, hop_lm
 
 
+class ResampledStream:
+    """Lazy L/M-resampled int16 view over a (possibly memory-mapped) recording.
+
+    Any contiguous slice is BIT-EXACT with the same slice of
+    resample_poly(whole_recording): the polyphase kernel is
+    shift-invariant under M-native-sample shifts (output phase depends on
+    j mod L only, the window base scales with j//L), so a slice computed
+    from a halo'd native window reproduces the global output as long as
+    the halo covers the tap span — _HALO = the kernel's own padding
+    budget, beyond any designed filter (design_taps enforces
+    (n_taps + L - 1)//L + 8 <= _PAD). Slices that touch the true
+    recording edges see the same zero padding the global resample does.
+
+    This is how the streaming predictor (ops/streaming.py) runs the
+    spectral wire's regridded geometry over recordings beyond RAM without
+    materializing the resampled stream: each audio tile resamples its own
+    native span on demand (tested bit-exact in tests/test_spectral.py).
+    """
+
+    _HALO = _PAD  # native samples, made a multiple of M per instance
+
+    def __init__(
+        self, audio: np.ndarray, sr: int, pass_hz: float, L: int = 3,
+        M: int = 4,
+    ):
+        self.audio = audio
+        self.sr, self.pass_hz = int(sr), float(pass_hz)
+        self.L, self.M = int(L), int(M)
+        self.n_native = int(audio.shape[0])
+        self.shape = (self.L * self.n_native // self.M,)
+        self.dtype = np.dtype(np.int16)
+
+    @property
+    def nbytes(self) -> int:
+        return self.shape[0] * 2
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def __getitem__(self, sl: slice) -> np.ndarray:
+        if not isinstance(sl, slice) or sl.step not in (None, 1):
+            raise TypeError("ResampledStream supports contiguous slices only")
+        a, b, _ = sl.indices(self.shape[0])
+        L, M = self.L, self.M
+        if b <= a:
+            return np.zeros(0, np.int16)
+        a0 = a - a % L  # snap to output phase 0 (native grid multiple)
+        s0 = (a0 // L) * M
+        halo = self._HALO - self._HALO % M
+        p0 = max(0, s0 - halo)  # multiple of M: phase is preserved
+        p1 = min(self.n_native, -(-b // L) * M + halo)
+        y = resample_poly(
+            np.ascontiguousarray(self.audio[p0:p1]),
+            self.sr, self.pass_hz, L, M,
+        )
+        off = p0 * L // M  # exact: p0 % M == 0
+        return y[a - off : b - off]
+
+
 __all__ = [
     "design_taps",
     "design_taps34",
@@ -254,4 +313,5 @@ __all__ = [
     "spectral_geometry",
     "spectral_downsample",
     "spectral_wire_base",
+    "ResampledStream",
 ]

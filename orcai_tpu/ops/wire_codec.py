@@ -331,9 +331,9 @@ def spectral_wire_base(wire: str) -> str | None:
     dropping the band the frontend crops anyway — and then ship the
     reduced-rate samples through the named base codec, stacking to L/M of
     its bytes per native-rate sample (sp-* = 3/4, sp11-* = 11/16).
-    Consumers that cannot regrid (the streaming predictor; geometries
-    where the transform can't hold the spectrogram grid) fall back to the
-    base codec at the native rate.
+    Geometries where the transform can't hold the spectrogram grid fall
+    back to the base codec at the native rate (the streaming predictor
+    regrids too since round 5 — ops/streaming.resolve_streaming_wire).
     """
     return {"sp-bfp6": "bfp6", "sp-bfp5": "bfp5", "sp11-bfp5": "bfp5"}.get(
         wire
@@ -395,8 +395,9 @@ def resolve_wire(wire: str | None, backend: str | None = None) -> str:
     wire") and exact elsewhere. CPU/GPU test paths therefore stay
     bit-identical to the reference numerics unless a caller opts in.
     Geometries the spectral transform cannot regrid fall back to the plain
-    base codec automatically (ops/frontend.py), as does the streaming
-    predictor. Full-path annotation parity of sp-bfp5 vs the exact wire on
+    base codec automatically (ops/frontend.py, ops/streaming.py — the
+    streaming predictor regrids via a lazy bit-exact ResampledStream since
+    round 5). Full-path annotation parity of sp-bfp5 vs the exact wire on
     two 20-min recordings sits in the same band as bfp6's official-run
     parity (64-67/76 identical + 3-6 boundary-shifted, residuals all
     sub-second near-threshold flickers <= 0.69 s); sp-bfp6 (0.568 B/sample,

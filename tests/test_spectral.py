@@ -333,7 +333,12 @@ def test_frontend_sp_wire_grid_and_values_match_native_rate():
     np.testing.assert_array_equal(spec_fb, spec_b6)
 
 
-def test_streaming_predictor_strips_spectral_wire():
+def test_streaming_predictor_regrids_spectral_wire():
+    """Round 5: the streaming predictor REGRIDS under spectral wires when
+    the geometry holds (the flagship sp-bfp5 wire works on the
+    long-recording path): base codec bytes at the resampled rate, scaled
+    two-pass geometry, lazy ResampledStream plumbing — and still falls
+    back to the base codec at the native rate when the grid cannot hold."""
     from orcai_tpu.ops.streaming import StreamingPredictor
 
     class _WP:  # geometry-only stand-in
@@ -345,9 +350,19 @@ def test_streaming_predictor_strips_spectral_wire():
     sp = dict(sampling_rate=48000, nfft=512, n_overlap=256,
               freq_range=[0, 16000], quantiles=[0.01, 0.999])
     s = StreamingPredictor(_WP(), sp, wire="sp-bfp6")
-    assert s.wire == "bfp6"
+    assert (s.wire_label, s.wire) == ("sp-bfp6", "bfp6")
+    assert (s.sr, s.n_fft, s.hop) == (36000, 384, 192)
+    assert s._resample == (48000, 15937.5, 3, 4)  # pass = top retained bin
     s5 = StreamingPredictor(_WP(), sp, wire="sp-bfp5")
-    assert s5.wire == "bfp5"
+    assert (s5.wire_label, s5.wire) == ("sp-bfp5", "bfp5")
+    assert (s5.sr, s5.n_fft, s5.hop) == (36000, 384, 192)
+
+    # non-regriddable: the retained band fills the output Nyquist
+    sp_wide = dict(sp, freq_range=[0, 20000])
+    f = StreamingPredictor(_WP(), sp_wide, wire="sp-bfp5")
+    assert (f.wire_label, f.wire) == ("bfp5", "bfp5")
+    assert (f.sr, f.n_fft, f.hop) == (48000, 512, 256)
+    assert f._resample is None
 
 
 @pytest.mark.parametrize("wire", ["sp-bfp6", "sp-bfp5", "sp11-bfp5"])
@@ -588,7 +603,7 @@ def test_sp11_frontend_plumbing_and_values():
     np.testing.assert_array_equal(spec_fb, spec_b5)
 
 
-def test_streaming_predictor_strips_sp11_wire():
+def test_streaming_predictor_regrids_sp11_wire():
     from orcai_tpu.ops.streaming import StreamingPredictor
 
     class _WP:
@@ -600,4 +615,6 @@ def test_streaming_predictor_strips_sp11_wire():
     sp = dict(sampling_rate=48000, nfft=512, n_overlap=256,
               freq_range=[0, 16000], quantiles=[0.01, 0.999])
     s = StreamingPredictor(_WP(), sp, wire="sp11-bfp5")
-    assert s.wire == "bfp5"
+    assert (s.wire_label, s.wire) == ("sp11-bfp5", "bfp5")
+    assert (s.sr, s.n_fft, s.hop) == (33000, 352, 176)
+    assert s._resample == (48000, 15937.5, 11, 16)

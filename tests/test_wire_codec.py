@@ -352,9 +352,11 @@ def test_audio_source_bfp_tiles():
         np.testing.assert_array_equal(cd, e)
 
 
-def test_streaming_predictor_downgrades_misaligned_bfp():
-    """StreamingPredictor falls back to mulaw8 when the tile geometry
-    cannot slice the packed block grid."""
+def test_streaming_predictor_keeps_bfp_on_misaligned_geometry():
+    """Round 5: block-misaligned tile geometries no longer downgrade to
+    mulaw8 — tile slices decode from the containing block boundary and
+    drop the intra-block offset on device, so the packed grid works for
+    ANY n_fft/hop (including the spectral wire's regridded hop)."""
     from orcai_tpu.ops.streaming import StreamingPredictor
 
     class _WP:  # geometry-only stand-in
@@ -366,10 +368,38 @@ def test_streaming_predictor_downgrades_misaligned_bfp():
     sp = dict(sampling_rate=48000, nfft=400, n_overlap=100,
               freq_range=[0, 20000], quantiles=[0.02, 0.98])
     s = StreamingPredictor(_WP(), sp, wire="bfp6")
-    assert s.wire == "mulaw8"
+    assert s.wire == "bfp6"
     sp_ok = dict(sp, nfft=512, n_overlap=256)
     s2 = StreamingPredictor(_WP(), sp_ok, wire="bfp6")
     assert s2.wire == "bfp6"
+
+
+def test_audio_source_bfp_tiles_misaligned_geometry():
+    """The recording-origin block grid holds for geometries whose hop and
+    centered-STFT offset are NOT block multiples: host-path and HBM-path
+    tiles still decode to the recording-origin-anchored round trip of the
+    exact-path tiles, for tile starts at arbitrary intra-block offsets."""
+    from orcai_tpu.ops.streaming import _AudioSource
+
+    rng = np.random.default_rng(10)
+    audio = (rng.uniform(-1, 1, 50_000) * 32767).astype(np.int16)
+    packed, shifts = bfp_encode(audio, 5)
+    audio_rt = bfp_decode_host(packed, shifts, 5)[: len(audio)]
+    for n_fft, hop in [(384, 192), (400, 100), (48, 24)]:
+        kw = dict(n_fft=n_fft, hop=hop, max_tile_frames=64)
+        exact_host = _AudioSource(audio_rt, hbm_budget_bytes=0, **kw)
+        coded_host = _AudioSource(
+            audio, hbm_budget_bytes=0, wire="bfp5", **kw
+        )
+        coded_hbm = _AudioSource(
+            audio, hbm_budget_bytes=1 << 30, wire="bfp5", **kw
+        )
+        for t0 in (0, 1, 37, 150):  # includes the zero-padded head
+            e = np.asarray(exact_host.tile(t0, 64))
+            ch = np.asarray(coded_host.tile(t0, 64))
+            cd = np.asarray(coded_hbm.tile(t0, 64))
+            np.testing.assert_array_equal(ch, e, err_msg=f"{n_fft},{hop},{t0}")
+            np.testing.assert_array_equal(cd, e, err_msg=f"{n_fft},{hop},{t0}")
 
 
 def test_golden_predict_bfp6_annotation_parity(tmp_path):
