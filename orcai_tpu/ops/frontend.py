@@ -520,6 +520,85 @@ def compute_spectrogram(
     return spec, frequencies, times
 
 
+def compute_spectrogram_host(
+    audio: np.ndarray,
+    sampling_rate: int,
+    n_fft: int,
+    hop_length: int,
+    freq_range,
+    quantiles,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host (numpy rFFT) frontend with the device path's exact semantics.
+
+    The data-prep auto engine's host arm (pipeline/spectrogram.py): on a
+    degraded tunnel — or a fast host VM — shipping ~270 MB per 20-minute
+    recording through the link loses to computing on the host, so the
+    driver needs a host path that is not a toy. Same chain as the device
+    frontend / the reference's librosa semantics (stft center pad + hann,
+    amplitude_to_db(ref=global max over the FULL spectrum, amin 1e-5,
+    top_db 80), crop, nearest-percentile clip, min-max normalize;
+    reference spectrogram.py:15-87), engineered for one core: strided
+    window views (no (T, n_fft) frames copy), per-chunk rFFT sized to
+    cache, and the dB/log computed on the CROPPED bins only (the
+    reference pays log10 on the full spectrum then crops — the full-band
+    max is all the dB reference needs). Agrees with the device path
+    within the same float band the device holds against the float64
+    oracle (tests/test_frontend.py).
+
+    Returns the same (spectrogram (T, bins) f32 in [0, 1], uncropped
+    frequencies, frame times) triple as compute_spectrogram.
+    """
+    audio = np.asarray(audio)
+    if audio.dtype == np.int16:
+        audio = audio.astype(np.float32) / 32768.0
+    elif audio.dtype != np.float32:
+        audio = audio.astype(np.float32)
+    if audio.ndim != 1:
+        raise ValueError("compute_spectrogram_host expects mono audio (n,)")
+    n = audio.shape[0]
+    n_frames = 1 + n // hop_length
+
+    frequencies = fft_frequencies(sampling_rate, n_fft)
+    times = frames_to_time(n_frames, sampling_rate, hop_length)
+    lo_idx, hi_idx = freq_crop_indices(frequencies, freq_range)
+    n_bins = hi_idx - lo_idx
+
+    padded = np.zeros((n_frames - 1) * hop_length + n_fft, np.float32)
+    padded[n_fft // 2 : n_fft // 2 + n] = audio
+    win = hann_window(n_fft).astype(np.float32)
+
+    out = np.empty((n_frames, n_bins), np.float32)
+    ref = np.float32(0.0)
+    chunk = max(1, (1 << 22) // (n_fft * 4))  # ~16 MB of framed f32
+    for t0 in range(0, n_frames, chunk):
+        t1 = min(t0 + chunk, n_frames)
+        view = np.lib.stride_tricks.sliding_window_view(
+            padded[t0 * hop_length : (t1 - 1) * hop_length + n_fft], n_fft
+        )[::hop_length]
+        S = np.abs(np.fft.rfft(view * win, axis=1))
+        ref = max(ref, S.max())  # dB reference: FULL uncropped spectrum
+        out[t0:t1] = S[:, lo_idx:hi_idx]
+
+    # amplitude_to_db on the cropped bins; ref is the full-spectrum max so
+    # the top_db floor is exactly -80 dB (db.max() over the full band = 0)
+    np.maximum(out, np.float32(_AMIN), out=out)
+    np.log10(out, out=out)
+    out *= np.float32(20.0)
+    out -= np.float32(20.0) * np.log10(np.maximum(ref, np.float32(_AMIN)))
+    np.maximum(out, np.float32(-_TOP_DB), out=out)
+
+    q_lo, q_hi = quantiles
+    lo, hi = np.percentile(
+        out, [100.0 * q_lo, 100.0 * q_hi], method="nearest"
+    )
+    np.clip(out, lo, hi, out=out)
+    mn, mx = out.min(), out.max()
+    out -= mn
+    if mx > mn:
+        out /= mx - mn
+    return out, frequencies, times
+
+
 def preprocess_db_spectrogram_numpy(
     spec_db: np.ndarray, frequencies: np.ndarray, spectrogram_parameter: dict
 ) -> np.ndarray:

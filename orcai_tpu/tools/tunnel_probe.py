@@ -44,6 +44,35 @@ def h2d_mb_s(payload: np.ndarray, reps: int = 3) -> float:
     return round(payload.nbytes / 1e6 / best, 1)
 
 
+def d2h_mb_s(nbytes: int = 32 * 1024 * 1024, reps: int = 3) -> float:
+    """Device->host MB/s right now (best of reps).
+
+    The complement of h2d_mb_s for paths that bring LARGE tensors back —
+    create-spectrograms materializes the float32 spectrogram on host, so
+    its auto engine needs the downlink rate, which this tunnel does not
+    guarantee to match the uplink. Each rep fetches a DISTINCT device
+    buffer (jax caches an array's host copy after its first np.asarray,
+    so re-fetching one buffer would time a no-op); a 4-byte forcing fetch
+    first drains any queued work so the timings are honest (the
+    readiness-API caveat in this module's docstring).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = nbytes // 2
+    base = jnp.zeros((n,), jnp.int16)
+    bufs = [
+        jax.block_until_ready(base + np.int16(i)) for i in range(reps)
+    ]
+    _ = np.asarray(bufs[0][:2])  # forcing fetch: drain the queue
+    best = np.inf
+    for b in bufs:
+        t0 = time.time()
+        _ = np.asarray(b)
+        best = min(best, time.time() - t0)
+    return round(nbytes / 1e6 / best, 1)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp

@@ -139,3 +139,31 @@ def test_hop_equals_nfft_no_clamp():
     expected = np.clip((np.clip(dbc, lo, hi) - lo) / (hi - lo), 0, 1)
     assert spec.shape == expected.shape
     np.testing.assert_allclose(spec, expected, atol=2e-4)
+
+
+def test_host_engine_matches_numpy_reference_and_device(audio):
+    """compute_spectrogram_host (the data-prep auto engine's host arm) must
+    hold the same band against the float64 oracle as the device path does,
+    and sit closer to the device path than either sits to the oracle."""
+    from orcai_tpu.ops.frontend import compute_spectrogram_host
+
+    expected = numpy_reference_spectrogram(audio)
+    host, freqs, times = compute_spectrogram_host(
+        audio, SR, NFFT, HOP, FREQ_RANGE, QUANTILES
+    )
+    assert host.shape == expected.shape
+    assert len(freqs) == NFFT // 2 + 1 and len(times) == host.shape[0]
+    assert host.min() >= 0.0 and host.max() <= 1.0
+    np.testing.assert_allclose(host, expected, atol=2e-3)
+    assert np.mean(np.abs(host - expected) < 5e-4) > 0.99
+
+    dev, _, _ = compute_spectrogram(audio, SR, NFFT, HOP, FREQ_RANGE, QUANTILES)
+    np.testing.assert_allclose(host, dev, atol=2e-3)
+
+    # int16 input takes the same -1..1 scaling the device path applies
+    pcm = np.clip(np.rint(audio * 32768.0), -32768, 32767).astype(np.int16)
+    host_i, _, _ = compute_spectrogram_host(
+        pcm, SR, NFFT, HOP, FREQ_RANGE, QUANTILES
+    )
+    exact = numpy_reference_spectrogram(pcm.astype(np.float32) / 32768.0)
+    np.testing.assert_allclose(host_i, exact, atol=2e-3)

@@ -165,6 +165,45 @@ def test_create_spectrograms(project):
     assert times["length"] == n_expected
 
 
+def test_create_spectrograms_host_engine_matches_device(project, tmp_path,
+                                                        monkeypatch):
+    """The host engine (compute_spectrogram_host) writes stores float-band
+    equal to the device engine's, through the same pipelined driver; the
+    report dict records the engine; the env override resolves."""
+    from orcai_tpu.pipeline.spectrogram import resolve_spectrogram_engine
+
+    monkeypatch.delenv("ORCAI_TPU_SPEC_ENGINE", raising=False)
+    assert resolve_spectrogram_engine(None) == "auto"
+    monkeypatch.setenv("ORCAI_TPU_SPEC_ENGINE", "host")
+    assert resolve_spectrogram_engine(None) == "host"
+    monkeypatch.delenv("ORCAI_TPU_SPEC_ENGINE", raising=False)
+    with pytest.raises(ValueError):
+        resolve_spectrogram_engine("gpu-magic")
+
+    report = create_spectrograms(
+        project["table_path"],
+        tmp_path,
+        orcai_parameter=project["param_path"],
+        msgr=Messenger(verbosity=0),
+        verbosity=0,
+        engine="host",
+    )
+    assert report["engine"] == "host" and report["n_recordings"] == 2
+    for rec in ("rec1", "rec2"):
+        dev = open_zarr(
+            project["data_dir"] / rec / "spectrogram" / "spectrogram.zarr"
+        )[:]
+        host = open_zarr(tmp_path / rec / "spectrogram" / "spectrogram.zarr")[:]
+        assert host.shape == dev.shape
+        np.testing.assert_allclose(host, dev, atol=2e-3)
+        assert np.mean(np.abs(host - dev) < 5e-4) > 0.99
+        for f in ("frequencies.json", "times.json"):
+            assert (
+                (tmp_path / rec / "spectrogram" / f).read_text()
+                == (project["data_dir"] / rec / "spectrogram" / f).read_text()
+            )
+
+
 def test_create_label_arrays(project):
     create_label_arrays(
         project["table_path"],
