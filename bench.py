@@ -914,10 +914,20 @@ def measure_tpu_eval(model_dir: Path) -> dict:
         return time.time() - t0, res
 
     run(upload)  # compile + program load
-    timed = [run(upload) for _ in range(2)]
+    # median of 3: the warm pass leaves ~10-20 s of background RPC-client
+    # drain on the single core (CLAUDE.md), which lands in the first
+    # timed run's wall — the median reads through it
+    timed = [run(upload) for _ in range(3)]
     walls = [t for t, _ in timed]
     coded_res = timed[-1][1]
     wall = float(np.median(walls))
+    # the staged evaluation rides the uplink like predict rides it: the
+    # coded split (u8: 126 KB/snippet) is the irreducible byte stream, so
+    # the artifact carries the same floor math the flagship family does
+    itemsize = {"f32": 4, "u16": 2, "u8": 1}[upload]
+    upload_mb = (n * 736 * 171 * itemsize + n * 46 * len(calls) * 4) / 1e6
+    bw = _bandwidth_probe_mb_s(reps=2)
+    floor_s = upload_mb / bw
     out = {
         "snippets_per_s": round(n / wall, 1),
         "wall_s_median": round(wall, 2),
@@ -925,6 +935,13 @@ def measure_tpu_eval(model_dir: Path) -> dict:
         "n_snippets": n,
         "batch_size": batch_size,
         "upload": upload,
+        "transfer_floor": {
+            "upload_mb": round(upload_mb, 1),
+            "h2d_mb_s_probed": bw,
+            "floor_wall_s": round(floor_s, 2),
+            "ceiling_snippets_per_s": round(n / floor_s, 1),
+            "link_utilization": round(floor_s / wall, 3),
+        },
     }
     if upload != "f32":
         # accuracy contract of the coded upload: same seeded batch order,
@@ -1097,6 +1114,100 @@ def measure_tpu_streaming(
     }
 
 
+def measure_tpu_serve(model_dir: Path, n_arrivals: int = 5) -> dict:
+    """`orcai serve` file-arrival -> TSV latency (p50/p95), warm predictor.
+
+    The serving mode is the beyond-reference flagship surface but had no
+    measured number (round-4 verdict task 8). One serve() loop runs in a
+    thread with a warmed persistent predictor (warm_minutes covers the
+    20-min bucket); the bench then drops n_arrivals distinct 20-min
+    recordings into the watch folder one at a time and times
+    link() -> output-TSV-exists for each. The latency includes the
+    readiness protocol (size/mtime stable across two polls at
+    poll_seconds=0.25) — that is real arrival-to-answer latency, not
+    just predict compute.
+    """
+    import shutil
+    import threading
+
+    from orcai_tpu.pipeline.serve import serve
+    from orcai_tpu.utils import Messenger
+
+    watch = BENCH_DIR / "bench_serve_watch"
+    out = BENCH_DIR / "bench_serve_out"
+    shutil.rmtree(watch, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    watch.mkdir()
+    out.mkdir()
+
+    src = []
+    for i in range(n_arrivals + 1):
+        w = BENCH_DIR / bench_wav_name(i if i < N_RECORDINGS else f"s{i}")
+        if not w.exists():
+            synth_wav(w, BENCH_MINUTES * 60, seed=100 + i)
+        src.append(w)
+
+    poll_s = 0.25
+    rc: list[int] = []
+
+    def run() -> None:
+        rc.append(
+            serve(
+                watch,
+                model_dir=model_dir,
+                output_dir=out,
+                poll_seconds=poll_s,
+                warm_minutes=BENCH_MINUTES,
+                max_files=n_arrivals + 1,
+                verbosity=0,
+                msgr=Messenger(verbosity=0),
+            )
+        )
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+
+    def arrive_and_wait(i: int, wav: Path, timeout_s: float = 900.0) -> float:
+        dst = watch / f"arrival_{i}.wav"
+        t0 = time.time()
+        os.link(wav, dst)  # atomic appearance, single stable signature
+        expected = out / f"arrival_{i}_c1_orcai-v1_predicted.txt"
+        failed = expected.with_suffix(expected.suffix + ".failed")
+        while time.time() - t0 < timeout_s:
+            if expected.exists():
+                return time.time() - t0
+            if failed.exists():
+                raise RuntimeError(failed.read_text()[:500])
+            time.sleep(0.05)
+        raise TimeoutError(f"serve never produced {expected.name}")
+
+    # arrival 0 absorbs the serve loop's residual first-dispatch state on
+    # top of warm_minutes (programs load per jit closure; the warmed
+    # predictor IS the serving one, but the first real file still pays
+    # wav decode page-cache etc.) — reported separately, not in the p50
+    first_latency = arrive_and_wait(0, src[0])
+    lats = [arrive_and_wait(1 + k, src[1 + k]) for k in range(n_arrivals)]
+    th.join(timeout=60)
+
+    lats_sorted = sorted(lats)
+    p50 = float(np.percentile(lats, 50))
+    p95 = float(np.percentile(lats, 95))
+    shutil.rmtree(watch, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return {
+        "p50_s": round(p50, 2),
+        "p95_s": round(p95, 2),
+        "latencies_s": [round(v, 2) for v in lats_sorted],
+        "first_arrival_s": round(first_latency, 2),
+        "n_arrivals": n_arrivals,
+        "recording_minutes": BENCH_MINUTES,
+        "poll_seconds": poll_s,
+        "note": "arrival->TSV incl. the two-poll readiness protocol; "
+        "first_arrival_s absorbs residual per-process state and is "
+        "excluded from the percentiles",
+    }
+
+
 # ------------------------------------------------------------------- train
 
 
@@ -1148,21 +1259,25 @@ def measure_tpu_train(batch_size: int, n_batches: int = 8, epochs: int = 3) -> d
 
 # ----------------------------------------------------------------- hpsearch
 
+# One workload definition for BOTH sides of the hpsearch ratio (round-4
+# verdict missing #1: no CPU denominator, toy workload). max_epochs=4 /
+# factor=2 makes promotion rungs actually run (hyperband_schedule: 14
+# rung-trials over 3 brackets, 28 trial-epochs) and the snippet count is
+# 4x the old toy workload.
+HPS_MAX_EPOCHS = 4
+HPS_FACTOR = 2
+HPS_N_TRAIN, HPS_N_VAL = 1536, 384
 
-def measure_hpsearch() -> dict:
-    """Fixed 5-trial Hyperband workload -> trials/hr (BASELINE.md metric 3)."""
-    import shutil
-    import tempfile
 
+def _hpsearch_workload() -> tuple[dict, dict, np.ndarray, np.ndarray]:
+    """(orcai_parameter, hps space, x, y) shared by the TPU family and the
+    keras CPU baseline — the two sides must never drift apart."""
     from orcai_tpu.io import read_json
-    from orcai_tpu.io.dataset import ArrayDataset
     from orcai_tpu.resources import DEFAULT_ORCAI_PARAMETER
-    from orcai_tpu.train.hpsearch import hyperparameter_search
-    from orcai_tpu.utils import Messenger
 
     param = read_json(DEFAULT_ORCAI_PARAMETER)
     param["seed"] = 7
-    param["model"]["epochs"] = 2
+    param["model"]["epochs"] = HPS_MAX_EPOCHS
     hps = {
         "filters": {"orcai": [16, 24, 32, 48], "slim": [8, 16, 24, 32]},
         "kernel_size": [3, 5],
@@ -1170,11 +1285,144 @@ def measure_hpsearch() -> dict:
         "lstm_units": [64],
         "batch_size": [64],
     }
-
     rng = np.random.default_rng(3)
-    n_train, n_val = 384, 128
-    x = rng.uniform(size=(n_train + n_val, 736, 171, 1)).astype(np.float32)
-    y = rng.integers(0, 2, (n_train + n_val, 46, 7)).astype(np.float32)
+    n = HPS_N_TRAIN + HPS_N_VAL
+    x = rng.uniform(size=(n, 736, 171, 1)).astype(np.float32)
+    y = rng.integers(0, 2, (n, 46, 7)).astype(np.float32)
+    return param, hps, x, y
+
+
+def cpu_hpsearch_baseline_main() -> None:
+    """Explicit-Hyperband-over-keras CPU baseline, own process.
+
+    The SAME schedule machinery the TPU search runs
+    (train/hpsearch.hyperband_schedule + sample_configs + _apply_config —
+    imported, not reimplemented) driving keras batch-API training on CPU over the
+    identical workload (_hpsearch_workload), with rung weight-carrying
+    via get/set_weights. keras-tuner is not installable in this image;
+    this is the same explicit Hyperband loop over the installed keras
+    oracle. A full search at this workload takes hours on one CPU core,
+    so the baseline runs under a wall budget
+    (ORCAI_TPU_BENCH_HPS_CPU_BUDGET_S, default 900 s) and reports
+    trials/hr over the rung-trials that completed — the budget lands in
+    the cheapest early rungs (1-epoch trials vs the search's 2-epoch
+    average), so the baseline is GENEROUS to the CPU and the reported
+    ratio conservative.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    os.environ.setdefault("KERAS_BACKEND", "tensorflow")
+    # this image's TF corrupts the heap (segfault/munmap abort) when its
+    # oneDNN grappler remapper mutates the ResNet residual-add training
+    # graph — reproducibly within a few built-and-trained models, and
+    # disabling only the remapping pass does not help. oneDNN off is
+    # timing-neutral here (train_on_batch matches the oneDNN-on train
+    # baseline's snippets/s across rounds). Must be set before TF loads.
+    os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
+
+    from orcai_tpu.io.keras_convert import build_keras_model
+    from orcai_tpu.train.hpsearch import (
+        _apply_config,
+        hyperband_schedule,
+        sample_configs,
+    )
+
+    param, hps, x, y = _hpsearch_workload()
+    xt, yt = x[:HPS_N_TRAIN], y[:HPS_N_TRAIN]
+    xv, yv = x[HPS_N_TRAIN:], y[HPS_N_TRAIN:]
+    budget = float(os.environ.get("ORCAI_TPU_BENCH_HPS_CPU_BUDGET_S", "900"))
+    rng = np.random.default_rng([13, param["seed"]])
+
+    import keras
+
+    t0 = time.time()
+    completed = 0
+    epochs_trained = 0
+    out_of_budget = False
+    for rungs in hyperband_schedule(HPS_MAX_EPOCHS, HPS_FACTOR):
+        if out_of_budget:
+            break
+        configs = sample_configs(hps, rungs[0][0], rng)
+        carried: dict[tuple, list] = {}  # cfg key -> weights
+        prev_epochs = 0
+        for n_i, r_i in rungs:
+            if out_of_budget:
+                break
+            scored = []
+            for cfg in configs[:n_i]:
+                key = tuple(sorted(cfg.items()))
+                p = _apply_config(param, hps, cfg)
+                kmodel = build_keras_model(p, (736, 171, 1))
+                kmodel.compile(
+                    optimizer=keras.optimizers.Adam(
+                        p["model"]["learning_rate"]
+                    ),
+                    loss="binary_crossentropy",
+                )
+                if key in carried:
+                    kmodel.set_weights(carried[key])
+                n_epochs = r_i - (prev_epochs if key in carried else 0)
+                # train_on_batch/test_on_batch loops, not model.fit:
+                # keras fit's grappler-remapped training graph segfaults
+                # intermittently in this image (trips on the residual-add
+                # fanout mutation); the batch-level API is the path the
+                # CPU train baseline has run stably for four rounds
+                bsz = cfg["batch_size"]
+                for _ in range(n_epochs):
+                    for i0 in range(0, len(xt) - bsz + 1, bsz):
+                        kmodel.train_on_batch(
+                            xt[i0 : i0 + bsz], yt[i0 : i0 + bsz]
+                        )
+                val_losses = [
+                    float(
+                        kmodel.test_on_batch(
+                            xv[i0 : i0 + bsz], yv[i0 : i0 + bsz]
+                        )
+                    )
+                    for i0 in range(0, len(xv) - bsz + 1, bsz)
+                ]
+                epochs_trained += n_epochs
+                carried[key] = kmodel.get_weights()
+                scored.append((float(np.mean(val_losses)), key, cfg))
+                completed += 1  # one rung-trial, same unit as all_trials.csv
+                if time.time() - t0 > budget:
+                    out_of_budget = True
+                    break
+            scored.sort(key=lambda t: t[0])
+            configs = [cfg for _, _, cfg in scored]
+            prev_epochs = r_i
+    elapsed = time.time() - t0
+    print(json.dumps({
+        "trials_per_hr": round(completed / (elapsed / 3600), 2),
+        "completed_rung_trials": completed,
+        "trial_epochs": epochs_trained,
+        "elapsed_s": round(elapsed, 1),
+        "budget_s": budget,
+        "budget_exhausted": out_of_budget,
+        "note": "same explicit Hyperband machinery + workload as the TPU "
+        "family over keras train_on_batch loops; budget lands in the "
+        "cheapest early rungs, so this denominator is generous to the CPU",
+    }))
+
+
+def measure_hpsearch() -> dict:
+    """Hyperband search throughput -> trials/hr (BASELINE.md metric 3).
+
+    Round-5 workload: max_epochs=4 / factor=2 over 1536 train + 384 val
+    snippets (promotion rungs actually execute; 14 rung-trials, 28
+    trial-epochs — _hpsearch_workload, shared with the keras CPU
+    baseline that gives this family its vs_cpu denominator).
+    """
+    import shutil
+    import tempfile
+
+    from orcai_tpu.io.dataset import ArrayDataset
+    from orcai_tpu.train.hpsearch import hyperparameter_search
+    from orcai_tpu.utils import Messenger
+
+    param, hps, x, y = _hpsearch_workload()
+    n_train, n_val = HPS_N_TRAIN, HPS_N_VAL
 
     tmp = Path(tempfile.mkdtemp(prefix="bench_hps_", dir=BENCH_DIR))
     try:
@@ -1220,8 +1468,8 @@ def measure_hpsearch() -> dict:
                 hps_parameter=hps,
                 msgr=Messenger(verbosity=0),
                 verbosity=0,
-                max_epochs=2,
-                factor=2,
+                max_epochs=HPS_MAX_EPOCHS,
+                factor=HPS_FACTOR,
             )
             return time.time() - t0
 
@@ -1239,7 +1487,8 @@ def measure_hpsearch() -> dict:
             "wall_s_runs": [round(t, 1) for t in walls],
             "spread_max_over_min": round(max(walls) / min(walls), 2),
             "warmup_wall_s": round(warm_elapsed, 1),
-            "max_epochs": 2,
+            "max_epochs": HPS_MAX_EPOCHS,
+            "factor": HPS_FACTOR,
             "snippets_per_trial_epoch": n_train,
         }
     finally:
@@ -1340,10 +1589,25 @@ def main() -> None:
                 "hpsearch_trials_per_hr": (
                     report_now.get("hpsearch") or {}
                 ).get("trials_per_hr"),
+                "hpsearch_vs_cpu": (
+                    report_now.get("hpsearch") or {}
+                ).get("vs_cpu_baseline"),
+                "evaluate_vs_cpu": (
+                    report_now.get("evaluate") or {}
+                ).get("vs_cpu_baseline"),
+                "spectrograms_vs_cpu": (
+                    report_now.get("spectrograms") or {}
+                ).get("vs_cpu_baseline"),
+                "spectrograms_engine": (
+                    report_now.get("spectrograms") or {}
+                ).get("engine"),
             }
             print(json.dumps(report_now), flush=True)
 
-    deadline_s = float(os.environ.get("ORCAI_TPU_BENCH_DEADLINE_S", "5400"))
+    # 120 min: round 5 added the keras-Hyperband CPU baseline (~15 min
+    # budget) and scaled the hpsearch workload 4x; a full healthy run is
+    # ~45-70 min
+    deadline_s = float(os.environ.get("ORCAI_TPU_BENCH_DEADLINE_S", "7200"))
 
     def fire() -> None:
         # the force-exit must survive ANYTHING emit() does: it runs in the
@@ -1370,6 +1634,7 @@ def main() -> None:
     cpu_train = _run_subprocess_json("cpu-train-baseline")
     cpu_spec = _run_subprocess_json("cpu-spectrogram-baseline")
     cpu_eval = _run_subprocess_json("cpu-eval-baseline")
+    cpu_hps = _run_subprocess_json("cpu-hpsearch-baseline")
     report["cpu_baseline"] = cpu_predict
     baseline = cpu_predict["rec_hr_per_min_median"] if cpu_predict else None
     # pooled-denominator protocol: the fresh per-session CPU baseline swings
@@ -1479,6 +1744,11 @@ def main() -> None:
         report["streaming"] = {"error": f"phase failed: {exc!r}"}
 
     try:
+        report["serve"] = measure_tpu_serve(ensure_model())
+    except Exception as exc:  # noqa: BLE001
+        report["serve"] = {"error": f"phase failed: {exc!r}"}
+
+    try:
         train64 = measure_tpu_train(64)
         train128 = measure_tpu_train(128)
         train = {"batch64": train64, "batch128": train128}
@@ -1492,7 +1762,13 @@ def main() -> None:
     report["train"] = train
 
     try:
-        report["hpsearch"] = measure_hpsearch()
+        hps_res = measure_hpsearch()
+        if cpu_hps and cpu_hps.get("trials_per_hr"):
+            hps_res["cpu_baseline"] = cpu_hps
+            hps_res["vs_cpu_baseline"] = round(
+                hps_res["trials_per_hr"] / cpu_hps["trials_per_hr"], 2
+            )
+        report["hpsearch"] = hps_res
     except Exception as exc:  # noqa: BLE001
         report["hpsearch"] = {"error": f"hpsearch phase failed: {exc!r}"}
 
@@ -1509,5 +1785,7 @@ if __name__ == "__main__":
         cpu_spectrogram_baseline_main()
     elif "--cpu-eval-baseline" in sys.argv:
         cpu_eval_baseline_main()
+    elif "--cpu-hpsearch-baseline" in sys.argv:
+        cpu_hpsearch_baseline_main()
     else:
         main()

@@ -179,13 +179,22 @@ def resolve_eval_upload(upload: str | None = None, backend: str | None = None) -
 
 def quantize_eval_upload(x: np.ndarray, upload: str) -> np.ndarray:
     """Host-side encode for resolve_eval_upload's format (device decode is
-    the dequant in Trainer.build_eval_probs_scan)."""
+    the dequant in Trainer.build_eval_probs_scan).
+
+    Single-pass in-place chain over one f32 scratch buffer: the quantize
+    sits on the evaluation critical path of a 1-core host (a 512-snippet
+    split is ~258 MB of f32), and the naive rint(clip(x*scale)) allocates
+    three temporaries of that size.
+    """
     x = np.asarray(x, np.float32)
     if upload == "f32":
         return x
     scale = 255.0 if upload == "u8" else 65535.0
     dt = np.uint8 if upload == "u8" else np.uint16
-    return np.clip(np.rint(x * scale), 0.0, scale).astype(dt)
+    buf = np.multiply(x, scale, dtype=np.float32)
+    np.rint(buf, out=buf)
+    np.clip(buf, 0.0, scale, out=buf)
+    return buf.astype(dt)
 
 
 def _test_model_on_dataset(

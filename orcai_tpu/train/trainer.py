@@ -269,6 +269,15 @@ class Trainer:
         return train_epoch_fn, eval_epoch_fn
 
     def build_eval_probs_scan(self):
+        """Memoized: the axon backend lazily re-loads programs per jit
+        CLOSURE on first forced execution even with a warm compile cache
+        (CLAUDE.md), so handing every _test_model_on_dataset call a fresh
+        closure would re-pay the load each evaluation."""
+        if getattr(self, "_eval_probs_scan", None) is None:
+            self._eval_probs_scan = self._build_eval_probs_scan()
+        return self._eval_probs_scan
+
+    def _build_eval_probs_scan(self):
         """One-dispatch evaluation over a staged batch stack, with probs.
 
         Takes X (n_batches, B, ...) and Y (n_batches, B, T, L) already in
