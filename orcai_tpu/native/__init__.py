@@ -153,6 +153,14 @@ def _load_wirecodec() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_int64,
         ]
         lib.orcai_resample_poly.restype = ctypes.c_int64
+        lib.orcai_quant_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.orcai_quant_u8.restype = None
+        lib.orcai_quant_u16.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.orcai_quant_u16.restype = None
         return lib
     except Exception:  # noqa: BLE001 — any failure means "use numpy"
         return None
@@ -206,6 +214,20 @@ def lz4_compress_native(src: bytes) -> bytes | None:
     if written < 0:  # pragma: no cover — cap is the worst case by spec
         raise ValueError("lz4 compress: output buffer overflow")
     return dst.raw[:written]
+
+
+def quantize_linear_native(x: np.ndarray, dtype) -> np.ndarray | None:
+    """f32 -> uint8/uint16 linear quantize (rint(x*scale) clipped) via C,
+    or None if unavailable. Bit-exact with the numpy chain in
+    train/evaluate.quantize_eval_upload (tested)."""
+    lib = _load_wirecodec()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    out = np.empty(x.shape, dtype)
+    fn = lib.orcai_quant_u8 if dtype == np.uint8 else lib.orcai_quant_u16
+    fn(x.ctypes.data, x.size, out.ctypes.data)
+    return out
 
 
 def mulaw_encode_native(x: np.ndarray, lut: np.ndarray) -> np.ndarray | None:

@@ -181,16 +181,21 @@ def quantize_eval_upload(x: np.ndarray, upload: str) -> np.ndarray:
     """Host-side encode for resolve_eval_upload's format (device decode is
     the dequant in Trainer.build_eval_probs_scan).
 
-    Single-pass in-place chain over one f32 scratch buffer: the quantize
-    sits on the evaluation critical path of a 1-core host (a 512-snippet
-    split is ~258 MB of f32), and the naive rint(clip(x*scale)) allocates
-    three temporaries of that size.
+    The quantize sits on the evaluation critical path of a 1-core host (a
+    512-snippet split is ~258 MB of f32): the native single-fused-pass C
+    loop (native/quant.c, memory-bandwidth speed) is preferred, with a
+    bit-exact in-place numpy chain as the tested fallback.
     """
     x = np.asarray(x, np.float32)
     if upload == "f32":
         return x
-    scale = 255.0 if upload == "u8" else 65535.0
     dt = np.uint8 if upload == "u8" else np.uint16
+    from orcai_tpu.native import quantize_linear_native
+
+    out = quantize_linear_native(x, dt)
+    if out is not None:
+        return out
+    scale = 255.0 if upload == "u8" else 65535.0
     buf = np.multiply(x, scale, dtype=np.float32)
     np.rint(buf, out=buf)
     np.clip(buf, 0.0, scale, out=buf)

@@ -267,3 +267,34 @@ def test_native_speedup_is_real():
     t_native = best_of(lambda: bfp_encode(x, 6, native=True))
     t_numpy = best_of(lambda: bfp_encode(x, 6, native=False))
     assert t_native < t_numpy / 2, (t_native, t_numpy)
+
+
+def test_quantize_linear_native_bit_exact():
+    """native/quant.c must match the numpy quantize chain bit-for-bit,
+    including round-half-to-even ties and out-of-range clipping (the u8
+    staging of device-resident evaluation depends on the two paths being
+    interchangeable)."""
+    import numpy as np
+    import pytest
+
+    from orcai_tpu.native import quantize_linear_native
+
+    if quantize_linear_native(np.zeros(4, np.float32), np.uint8) is None:
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(21)
+    x = np.concatenate([
+        rng.uniform(0, 1, 100_000).astype(np.float32),
+        np.linspace(-0.1, 1.1, 4096, dtype=np.float32),  # clipping range
+        (np.arange(0, 512, dtype=np.float32) + 0.5) / 255.0,  # exact ties
+        (np.arange(0, 512, dtype=np.float32) + 0.5) / 65535.0,
+        np.array([0.0, 0.5, 1.0, np.float32(1.0) - np.float32(1e-7)],
+                 np.float32),
+    ]).reshape(-1, 4)  # non-flat shape exercises the shape round trip
+    for dt, scale in [(np.uint8, 255.0), (np.uint16, 65535.0)]:
+        ref = np.clip(
+            np.rint(np.multiply(x, scale, dtype=np.float32)), 0.0, scale
+        ).astype(dt)
+        got = quantize_linear_native(x, dt)
+        assert got.dtype == dt and got.shape == x.shape
+        np.testing.assert_array_equal(got, ref)
