@@ -238,6 +238,35 @@ def test_device_resident_eval_matches_per_batch_loop():
         )
 
 
+def test_eval_slab_boundaries_change_nothing(monkeypatch):
+    """Forcing the staged evaluation into multiple HBM slabs (tiny
+    ORCAI_TPU_EVAL_SLAB_BYTES) must reproduce the single-slab run exactly
+    — metrics and tables — including a ragged final batch landing in the
+    last slab."""
+    from orcai_tpu.train.evaluate import _test_model_on_dataset
+    from orcai_tpu.utils import Messenger
+
+    param, trainer, state, ds = _tiny_eval_setup(n=21)  # 3 batches of 8 - 3
+    kw = dict(
+        batch_size=8, seed=[9, 4], label_names=param["calls"],
+        msgr=Messenger(verbosity=0), upload="f32",
+    )
+    monkeypatch.delenv("ORCAI_TPU_EVAL_SLAB_BYTES", raising=False)
+    single = _test_model_on_dataset(trainer, state, ds, dataset_name="s", **kw)
+    # one batch of 8 f32 snippets = 8*8*12*4 bytes -> one batch per slab
+    monkeypatch.setenv("ORCAI_TPU_EVAL_SLAB_BYTES", "1")
+    slabbed = _test_model_on_dataset(trainer, state, ds, dataset_name="m", **kw)
+    assert slabbed["data_metrics"] == single["data_metrics"]
+    pd.testing.assert_frame_equal(
+        slabbed["confusion_table"], single["confusion_table"],
+        check_exact=True,
+    )
+    for key, tbl in single["misclassification_tables"].items():
+        pd.testing.assert_frame_equal(
+            slabbed["misclassification_tables"][key], tbl, check_exact=True
+        )
+
+
 def test_eval_upload_quantization_close_and_policy(monkeypatch):
     """u8/u16 staged uploads agree with the exact evaluation at table
     level on [0, 1] spectrogram data, and the auto policy resolves to u8
